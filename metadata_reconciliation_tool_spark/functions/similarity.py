@@ -1,0 +1,456 @@
+"""Similarity batteries as vectorized pandas UDFs.
+
+The reference scores per-row inside ``iterrows()`` loops with plain-Python
+tier formulas (SURVEY.md §2.10). Here every battery operates on whole Arrow
+batches (pd.Series in, pd.Series out). The pure-Python kernels below are
+original implementations written for this engine from the published
+algorithm definitions (Jaro 1989 / Winkler 1990; Wagner–Fischer DP;
+Philips' Metaphone family; Broder MinHash) — NOT ports of any reference
+code (the reference has no fuzzy-string engine at all; its only similarity
+is word-set overlap, reconciliation_engine.py:193-199).
+
+Scale note: these run only on *blocked candidate pairs*, never the cross
+product — blocking (operators/blocking.py) is what keeps the pair count
+linear-ish at 10^12 turns, and these kernels are the per-pair constant.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+import zlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# --------------------------------------------------------------------------
+# Jaro-Winkler (standard definition; winkler prefix scaling p=0.1, max l=4)
+# --------------------------------------------------------------------------
+
+
+def _jaro(s1: str, s2: str) -> float:
+    if s1 == s2:
+        return 1.0
+    len1, len2 = len(s1), len(s2)
+    if not len1 or not len2:
+        return 0.0
+    match_window = max(len1, len2) // 2 - 1
+    if match_window < 0:
+        match_window = 0
+    flags1 = [False] * len1
+    flags2 = [False] * len2
+    matches = 0
+    for i, c in enumerate(s1):
+        lo = max(0, i - match_window)
+        hi = min(len2, i + match_window + 1)
+        for j in range(lo, hi):
+            if not flags2[j] and s2[j] == c:
+                flags1[i] = flags2[j] = True
+                matches += 1
+                break
+    if not matches:
+        return 0.0
+    transpositions = 0
+    j = 0
+    for i in range(len1):
+        if flags1[i]:
+            while not flags2[j]:
+                j += 1
+            if s1[i] != s2[j]:
+                transpositions += 1
+            j += 1
+    transpositions //= 2
+    m = float(matches)
+    return (m / len1 + m / len2 + (m - transpositions) / m) / 3.0
+
+
+def jaro_winkler_py(s1: str, s2: str, prefix_weight: float = 0.1) -> float:
+    j = _jaro(s1, s2)
+    if j <= 0.7:
+        return j
+    prefix = 0
+    for a, b in zip(s1[:4], s2[:4]):
+        if a != b:
+            break
+        prefix += 1
+    return j + prefix * prefix_weight * (1.0 - j)
+
+
+# --------------------------------------------------------------------------
+# Levenshtein ratio (Wagner–Fischer, two-row DP)
+# --------------------------------------------------------------------------
+
+
+def levenshtein_py(s1: str, s2: str) -> int:
+    if s1 == s2:
+        return 0
+    if not s1:
+        return len(s2)
+    if not s2:
+        return len(s1)
+    if len(s1) > len(s2):
+        s1, s2 = s2, s1
+    prev = list(range(len(s1) + 1))
+    for j, c2 in enumerate(s2, 1):
+        cur = [j]
+        for i, c1 in enumerate(s1, 1):
+            cur.append(min(prev[i] + 1, cur[i - 1] + 1, prev[i - 1] + (c1 != c2)))
+        prev = cur
+    return prev[-1]
+
+
+def lev_ratio_py(s1: str, s2: str) -> float:
+    m = max(len(s1), len(s2))
+    if m == 0:
+        return 1.0
+    return 1.0 - levenshtein_py(s1, s2) / m
+
+
+# --------------------------------------------------------------------------
+# Phonetic key — compact double-metaphone-style encoder.
+#
+# Original implementation of the common English sound-folding rules
+# (Philips 1990/2000 family): enough to make {shakespeare, shakespear,
+# shakspere}, {smith, smyth}, {catherine, katherine} collide while keeping
+# distinct names apart. Primary + secondary codes like double metaphone.
+# --------------------------------------------------------------------------
+
+_VOWELS = set("aeiouy")
+
+
+def metaphone_py(word: str, max_len: int = 6) -> str:
+    w = "".join(ch for ch in word.lower() if ch.isalpha())
+    if not w:
+        return ""
+    # leading-letter adjustments
+    if w[:2] in ("kn", "gn", "pn", "wr", "ps"):
+        w = w[1:]
+    elif w[:1] == "x":
+        w = "s" + w[1:]
+    elif w[:2] == "wh":
+        w = "w" + w[2:]
+    out: list[str] = []
+    i = 0
+    n = len(w)
+    while i < n and len(out) < max_len:
+        c = w[i]
+        nxt = w[i + 1] if i + 1 < n else ""
+        prv = w[i - 1] if i > 0 else ""
+        if c in _VOWELS:
+            if i == 0:
+                out.append("a")  # all initial vowels fold to A
+            i += 1
+            continue
+        if c == prv and c != "c":  # collapse doubles
+            i += 1
+            continue
+        if c == "b":
+            if not (i == n - 1 and prv == "m"):  # silent b in -mb
+                out.append("p")
+        elif c == "c":
+            if nxt == "h":
+                out.append("x")  # ch → X (match 'sh')
+                i += 1
+            elif nxt in ("i", "e", "y"):
+                out.append("s")
+            else:
+                out.append("k")
+        elif c == "d":
+            if nxt == "g" and i + 2 < n and w[i + 2] in ("e", "i", "y"):
+                out.append("j")
+                i += 1
+            else:
+                out.append("t")
+        elif c == "g":
+            if nxt == "h":
+                if i + 2 >= n or w[i + 2] in _VOWELS:
+                    out.append("k")
+                i += 1  # gh before consonant / at end: silent
+            elif nxt == "n":
+                out.append("k")  # keep simple: gn mid-word → K + N
+            elif nxt in ("i", "e", "y"):
+                out.append("j")
+            else:
+                out.append("k")
+        elif c == "h":
+            if prv in _VOWELS and nxt not in _VOWELS:
+                pass  # silent
+            elif prv in ("c", "s", "p", "t", "g"):
+                pass  # consumed by digraph
+            else:
+                out.append("h")
+        elif c == "j":
+            out.append("j")
+        elif c in ("f", "l", "m", "n", "r"):
+            out.append(c)
+        elif c == "k":
+            if prv != "c":
+                out.append("k")
+        elif c == "p":
+            if nxt == "h":
+                out.append("f")
+                i += 1
+            else:
+                out.append("p")
+        elif c == "q":
+            out.append("k")
+        elif c == "s":
+            if nxt == "h":
+                out.append("x")
+                i += 1
+            elif nxt == "c" and i + 2 < n and w[i + 2] == "h":
+                out.append("x")
+                i += 2
+            else:
+                out.append("s")
+        elif c == "t":
+            if nxt == "h":
+                out.append("0")  # th
+                i += 1
+            else:
+                out.append("t")
+        elif c == "v":
+            out.append("f")
+        elif c == "w":
+            if nxt in _VOWELS:
+                out.append("w")
+        elif c == "x":
+            out.append("k")
+            out.append("s")
+        elif c == "y":
+            if nxt in _VOWELS:
+                out.append("j")
+        elif c == "z":
+            out.append("s")
+        i += 1
+    return "".join(out[:max_len])
+
+
+def double_metaphone_py(name: str) -> tuple[str, str]:
+    """Primary + secondary phonetic codes for a full (multi-token) name.
+
+    Primary: metaphone of each token joined. Secondary: a looser variant
+    with vowel-free folding so near-spellings still collide.
+    """
+    toks = name.lower().split()
+    primary = " ".join(metaphone_py(t) for t in toks)
+    secondary = " ".join(metaphone_py(t, max_len=4) for t in toks)
+    return primary, secondary
+
+
+# --------------------------------------------------------------------------
+# MinHash (Broder) over character shingles — deterministic, numpy-vectorized
+# --------------------------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _minhash_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def shingles_py(text: str, k: int = 3) -> set[int]:
+    """k-char shingles hashed with crc32 (stable across processes/runs —
+    python's builtin hash() is salted and must never appear in a semantic
+    path)."""
+    t = text if len(text) >= k else text + " " * (k - len(text))
+    return {zlib.crc32(t[i : i + k].encode("utf-8")) for i in range(len(t) - k + 1)}
+
+
+def minhash_signature_py(
+    text: str, num_perm: int, a: np.ndarray, b: np.ndarray, k: int = 3
+) -> np.ndarray:
+    sh = np.fromiter(shingles_py(text, k), dtype=np.uint64)
+    if sh.size == 0:
+        return np.zeros(num_perm, dtype=np.uint64)
+    # (a*x + b) mod p for all perms × shingles at once
+    vals = (a[:, None] * sh[None, :] + b[:, None]) % _MERSENNE
+    return vals.min(axis=1)
+
+
+def lsh_band_keys_py(
+    sig: np.ndarray, bands: int, rows: int
+) -> list[str]:
+    """Hash each band of the signature into a compact hex bucket key."""
+    keys = []
+    for bi in range(bands):
+        band = sig[bi * rows : (bi + 1) * rows]
+        h = hashlib.md5(struct.pack(f"<{rows}Q", *band)).hexdigest()[:16]
+        keys.append(f"{bi}:{h}")
+    return keys
+
+
+# --------------------------------------------------------------------------
+# pandas UDF wrappers (Arrow-batched; the only JVM↔Python crossings)
+# --------------------------------------------------------------------------
+
+
+@F.pandas_udf(T.DoubleType())
+def jaro_winkler_udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
+    return pd.Series(
+        [jaro_winkler_py(a or "", b or "") for a, b in zip(s1, s2)], dtype="float64"
+    )
+
+
+@F.pandas_udf(T.DoubleType())
+def token_lev_ratio_udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
+    """Token-set Levenshtein: sort tokens, join, Levenshtein ratio — order
+    insensitive, typo tolerant."""
+    def one(a: str, b: str) -> float:
+        a = " ".join(sorted((a or "").split()))
+        b = " ".join(sorted((b or "").split()))
+        return lev_ratio_py(a, b)
+
+    return pd.Series([one(a, b) for a, b in zip(s1, s2)], dtype="float64")
+
+
+@F.pandas_udf(T.StringType())
+def metaphone_udf(s: pd.Series) -> pd.Series:
+    return s.map(lambda x: double_metaphone_py(x)[0] if x else "")
+
+
+# LSH layout: 16 bands × 2 rows. For short names the shingle-set Jaccard of
+# a 1-char typo sits around 0.7; P(≥1 band collides) = 1-(1-J²)^16 ≈ 0.9999
+# at J=0.7 vs ≈0.95 with 8×4 bands. The extra spurious candidates are scored
+# and rejected — recall is the scarce resource, precision comes from scoring.
+LSH_NUM_PERM, LSH_BANDS, LSH_ROWS = 32, 16, 2
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def lsh_keys_udf(s: pd.Series) -> pd.Series:
+    """norm_name → LSH band bucket keys (module constants above)."""
+    num_perm, bands, rows = LSH_NUM_PERM, LSH_BANDS, LSH_ROWS
+    a, b = _minhash_params(num_perm)
+
+    def one(text: str) -> list[str]:
+        if not text:
+            return []
+        sig = minhash_signature_py(text, num_perm, a, b)
+        return lsh_band_keys_py(sig, bands, rows)
+
+    return s.map(one)
+
+
+_TITLES = {"mr", "mrs", "ms", "dr", "prof", "sir", "dame"}
+
+
+def name_align_py(a: str, b: str) -> float:
+    """Token-aligned name similarity (Monge-Elkan-style) with initials
+    handling and a weakest-link penalty.
+
+    - titles stripped (F11, data_sources.py:296-305)
+    - each token of the shorter side greedily aligned to its best unused
+      partner on the longer side: exact=1.0, single-letter initial
+      compatibility=0.95 (extends U4, data_sources.py:294-310), else
+      Jaro-Winkler
+    - score = mean(aligned) × (0.5 + 0.5·min(aligned)) × (1 − 0.1·extra)
+
+    The weakest-link factor is the discriminator between abbreviation
+    variants of the SAME name ('o blackwood' ↔ 'oliver blackwood', min
+    pair 0.95) and DIFFERENT people sharing a surname ('o blackwood' ↔
+    'q blackwood', min pair 0.0 → heavy penalty).
+    """
+    ta = [t for t in (a or "").split() if t not in _TITLES]
+    tb = [t for t in (b or "").split() if t not in _TITLES]
+    if not ta or not tb:
+        return 0.0
+    small, big = (ta, tb) if len(ta) <= len(tb) else (tb, ta)
+    used: set[int] = set()
+    aligned: list[float] = []
+    for t in small:
+        best, best_i = 0.0, -1
+        for i, u in enumerate(big):
+            if i in used:
+                continue
+            if t == u:
+                s = 1.0
+            elif len(t) == 1 or len(u) == 1:
+                # single-letter tokens: initial compatibility or nothing —
+                # JW on 1-char strings degenerates ('a' fuzzy-matches inside
+                # 'shakespeare' via the Jaro window)
+                s = 0.95 if (u.startswith(t) or t.startswith(u)) else 0.0
+            else:
+                s = jaro_winkler_py(t, u)
+            if s > best:
+                best, best_i = s, i
+        aligned.append(best)
+        if best_i >= 0:
+            used.add(best_i)
+    mean = sum(aligned) / len(aligned)
+    weakest = min(aligned)
+    extra = len(big) - len(small)
+    return mean * (0.5 + 0.5 * weakest) * max(0.0, 1.0 - 0.1 * extra)
+
+
+@F.pandas_udf(T.DoubleType())
+def name_align_udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
+    return pd.Series(
+        [name_align_py(a, b) for a, b in zip(s1, s2)], dtype="float64"
+    )
+
+
+def surname_key_py(norm_name: str) -> str:
+    """Phonetic blocking key: metaphone of the longest token (surname-ish).
+
+    Robust to initials ('w shakespeare' and 'william shakespeare' share the
+    longest token). Tie on length broken alphabetically-last for
+    determinism under any parallelism.
+    """
+    toks = (norm_name or "").split()
+    if not toks:
+        return ""
+    t = max(toks, key=lambda x: (len(x), x))
+    return metaphone_py(t)
+
+
+@F.pandas_udf(T.StringType())
+def surname_key_udf(s: pd.Series) -> pd.Series:
+    return s.map(surname_key_py)
+
+
+def lsh_keys_py(text: str) -> list[str]:
+    """Python twin of :func:`lsh_keys_udf` (same params/seed — parity-pinned)."""
+    if not text:
+        return []
+    a, b = _minhash_params(LSH_NUM_PERM)
+    sig = minhash_signature_py(text, LSH_NUM_PERM, a, b)
+    return lsh_band_keys_py(sig, LSH_BANDS, LSH_ROWS)
+
+
+@F.pandas_udf(T.BooleanType())
+def initials_subset_udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
+    """U4 names_are_similar (data_sources.py:294-310) extended for initials:
+    token sets match if one side's tokens are a subset of the other's, where
+    a single-letter token matches any token sharing its first letter."""
+    titles = {"mr", "mrs", "ms", "dr", "prof", "sir", "dame"}
+
+    def covers(small: list[str], big: list[str]) -> bool:
+        used: set[int] = set()
+        for t in small:
+            hit = None
+            for i, u in enumerate(big):
+                if i in used:
+                    continue
+                if t == u or (len(t) == 1 and u.startswith(t)) or (
+                    len(u) == 1 and t.startswith(u)
+                ):
+                    hit = i
+                    break
+            if hit is None:
+                return False
+            used.add(hit)
+        return True
+
+    def one(a: str, b: str) -> bool:
+        ta = [t for t in (a or "").split() if t not in titles]
+        tb = [t for t in (b or "").split() if t not in titles]
+        if not ta or not tb:
+            return False
+        return covers(ta, tb) if len(ta) <= len(tb) else covers(tb, ta)
+
+    return pd.Series([one(a, b) for a, b in zip(s1, s2)], dtype="bool")

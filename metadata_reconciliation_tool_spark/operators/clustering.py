@@ -1,0 +1,98 @@
+"""Transitive clustering via iterative connected components (SURVEY.md J7).
+
+Absent from the reference (it links entity→authority only); the north rule
+mandates entity↔entity transitive closure. GraphFrames-free implementation
+of the alternating large-star / small-star algorithm (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14) as pure DataFrame
+joins + aggregates:
+
+- large-star: every neighbor v > u links to m = min(N(u) ∪ {u})
+- small-star: every neighbor v ≤ u links to m (plus u itself)
+
+Converges in O(log d) rounds; per-round ``localCheckpoint`` truncates the
+lineage so the plan doesn't grow exponentially (the one driver-side loop in
+the engine, by design — SURVEY.md §4.3). Convergence detected by a
+(count, hash-sum) fingerprint — O(1) driver data per round, no collect of
+the edge set.
+
+Determinism: cluster id = lexicographic min entity_key of the component —
+identical at local[8] and local[32] (no monotonically_increasing_id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _fingerprint(edges: DataFrame) -> tuple[int, int]:
+    row = edges.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.bit_xor(F.xxhash64("src", "dst")), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    # undirected neighborhood view
+    und = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    mins = und.groupBy("src").agg(F.least(F.min("dst"), F.first("src")).alias("m"))
+    return (
+        und.join(mins, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    # canonicalize so src >= dst, group by the larger endpoint
+    canon = edges.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    )
+    mins = canon.groupBy("src").agg(F.least(F.min("dst"), F.first("src")).alias("m"))
+    linked = canon.join(mins, "src")
+    out = linked.select(F.col("dst").alias("src"), F.col("m").alias("dst")).unionByName(
+        linked.select("src", F.col("m").alias("dst"))
+    )
+    return out.filter(F.col("src") != F.col("dst")).distinct()
+
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """edges(left_key, right_key) → (entity_key, cluster_id) for every node
+    that appears in an edge. Callers attach singletons via left join +
+    coalesce(cluster_id, entity_key)."""
+    e = (
+        edges.select(F.col("left_key").alias("src"), F.col("right_key").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev = None
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint()
+        fp = _fingerprint(e)
+        if fp == prev:
+            break
+        prev = fp
+    und = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    comp = und.groupBy("src").agg(F.least(F.min("dst"), F.first("src")).alias("cluster_id"))
+    return comp.select(F.col("src").alias("entity_key"), "cluster_id")
+
+
+def assign_clusters(entities: DataFrame, components: DataFrame) -> DataFrame:
+    """All entities → cluster ids; singletons become their own cluster."""
+    return (
+        entities.select("entity_key")
+        .distinct()
+        .join(components, "entity_key", "left")
+        .select(
+            "entity_key",
+            F.coalesce("cluster_id", "entity_key").alias("cluster_id"),
+        )
+    )

@@ -1,0 +1,114 @@
+"""Pair scoring — batched similarity batteries + the reference's confidence
+formulas over blocked candidate pairs (SURVEY.md §2.8 F6–F12, §2.10).
+
+One join brings both sides' names onto the pair row; the batteries
+(Jaro-Winkler, token-set Levenshtein — Arrow-batched pandas UDFs) and the
+F7 Wikidata confidence formula (pure Column expr) run in a single
+projection. Jaccard / exact / initials-subset round out the composite.
+
+Scale: the UDFs see only blocked pairs. With the F7 formula and Jaccard as
+pure Column exprs, the Python-side work per pair is two string kernels —
+the rest stays in whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.confidence import (
+    composite_match_score,
+    confidence_band_5,
+    wikidata_confidence,
+)
+from ..functions.normalize import distinct_tokens, token_sort
+from ..functions.similarity import (
+    jaro_winkler_udf,
+    name_align_udf,
+    token_lev_ratio_udf,
+)
+
+DEFAULT_MATCH_THRESHOLD = 0.70
+
+
+def attach_names(
+    pairs: DataFrame,
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str = "entity_key",
+    right_id: str = "entity_key",
+    left_name: str = "norm_name",
+    right_name: str = "norm_name",
+    right_description: str | None = None,
+) -> DataFrame:
+    """Join pair ids to their normalized names (+ optional description).
+
+    The right side is broadcast when it is the authority dictionary; for
+    entity↔entity pairs both joins shuffle on the key — unavoidable and
+    linear in pair count.
+    """
+    l = left.select(
+        F.col(left_id).alias("left_key"), F.col(left_name).alias("left_name")
+    )
+    rcols = [F.col(right_id).alias("right_key"), F.col(right_name).alias("right_name")]
+    if right_description:
+        rcols.append(F.col(right_description).alias("right_description"))
+    r = right.select(*rcols)
+    out = pairs.join(l, "left_key").join(r, "right_key")
+    if not right_description:
+        out = out.withColumn("right_description", F.lit(None).cast("string"))
+    return out
+
+
+def score_pairs(
+    named_pairs: DataFrame, threshold: float = DEFAULT_MATCH_THRESHOLD
+) -> DataFrame:
+    """named_pairs(left_key,right_key,block_pass,block_key,left_name,
+    right_name,right_description) → SCORES schema + is_match."""
+    ls, rs = token_sort(F.col("left_name")), token_sort(F.col("right_name"))
+    lt, rt = distinct_tokens(F.col("left_name")), distinct_tokens(F.col("right_name"))
+    jaccard = F.when(
+        (F.size(lt) > 0) & (F.size(rt) > 0),
+        F.size(F.array_intersect(lt, rt)).cast("double")
+        / F.size(F.array_union(lt, rt)).cast("double"),
+    ).otherwise(F.lit(0.0))
+
+    scored = (
+        named_pairs.withColumn("_ls", ls)
+        .withColumn("_rs", rs)
+        .withColumn("jaro_winkler", jaro_winkler_udf(F.col("_ls"), F.col("_rs")))
+        .withColumn("token_lev_ratio", token_lev_ratio_udf(F.col("left_name"), F.col("right_name")))
+        .withColumn("name_align", name_align_udf(F.col("left_name"), F.col("right_name")))
+        .withColumn("jaccard", jaccard)
+        .withColumn(
+            "wikidata_confidence",
+            wikidata_confidence(
+                F.col("left_name"), F.col("right_name"), F.col("right_description")
+            ),
+        )
+        .withColumn(
+            "score",
+            composite_match_score(
+                F.col("name_align"),
+                F.col("token_lev_ratio"),
+                F.col("wikidata_confidence"),
+                F.col("_ls") == F.col("_rs"),
+            ),
+        )
+        .withColumn("confidence", confidence_band_5(F.col("score")))
+        .withColumn("is_match", F.col("score") >= threshold)
+    )
+    return scored.select(
+        "left_key",
+        "right_key",
+        "block_pass",
+        "block_key",
+        "jaro_winkler",
+        "token_lev_ratio",
+        "name_align",
+        "jaccard",
+        "wikidata_confidence",
+        "score",
+        "confidence",
+        "is_match",
+    )

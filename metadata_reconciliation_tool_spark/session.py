@@ -1,0 +1,53 @@
+"""SparkSession builder tuned for the reconciliation workload.
+
+Local testing runs on ``local[N]`` (one JVM); the same configs are the ones
+that matter on a 1000-executor cluster:
+
+- AQE + skew-join: blocking keys over person names are Zipfian ("john ...",
+  "the ...") — AQE splits hot post-shuffle partitions at runtime.
+- Arrow: every pandas UDF crosses the JVM<->Python boundary in columnar
+  batches, not rows.
+- shuffle partitions sized to cores locally; on a real cluster this is
+  overridden (or left to AQE coalescing) via spark-submit --conf.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_session(
+    app_name: str = "metadata_reconciliation_tool_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    if shuffle_partitions is None:
+        # local[N] → N; local[*] / cluster → leave a sane default
+        n = master.removeprefix("local[").removesuffix("]")
+        shuffle_partitions = int(n) if n.isdigit() else 2 * cpus
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # pandas-UDF batches: large enough to amortize Arrow transfer,
+        # small enough to keep per-batch DP (levenshtein) memory bounded.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
