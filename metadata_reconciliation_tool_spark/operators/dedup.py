@@ -1,0 +1,201 @@
+"""Deduplication suite for training-data pipelines over a documents table
+(doc_id, text, lang, source, …): exact, MinHash-LSH, SimHash, n-gram
+Jaccard, and embedding-cosine near-dup.
+
+Design at 100 TB:
+- every method reduces to key-generation projection → shuffle on the key →
+  within-block comparison; the shuffle on a short hash key is the minimal
+  one any dedup needs.
+- representative selection is min(doc_id) per group — deterministic under
+  any parallelism.
+- candidate verification (Jaccard / cosine) happens only within blocks,
+  never across the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.textstats import (
+    doc_fingerprint,
+    minhash_key,
+    simhash_bitstring,
+    ws_tokens,
+)
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup by content hash: keep the min-id row per md5(text).
+    Hash-groupBy — one shuffle on a 128-bit key, no text comparison."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    return docs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+
+
+def fingerprint_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Order-insensitive near-exact dedup: same sorted-distinct-token-set
+    fingerprint → same group; keep min id."""
+    w = Window.partitionBy(doc_fingerprint(F.col(text_col))).orderBy(F.col(id_col))
+    return docs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n_bands: int = 4,
+    jaccard_threshold: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs: n_bands md5-minhash band keys →
+    bucket self-join per band → union → verify word-set Jaccard ≥ t.
+
+    Band keys are single md5-min values (shingle = word), so both the Spark
+    plan and the SQL oracle compute identical buckets. Returns
+    (left_id, right_id, jaccard)."""
+    keyed = docs.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(ws_tokens(F.lower(F.col(text_col)))).alias("toks"),
+        *[minhash_key(F.col(text_col), s).alias(f"mh{s}") for s in range(n_bands)],
+    )
+    bands = None
+    for s in range(n_bands):
+        b = keyed.select("id", F.concat(F.lit(f"{s}:"), F.col(f"mh{s}")).alias("band_key"))
+        bands = b if bands is None else bands.unionByName(b)
+    l = bands.select("band_key", F.col("id").alias("left_id"))
+    r = bands.select("band_key", F.col("id").alias("right_id"))
+    cand = (
+        l.join(r, "band_key")
+        .filter(F.col("left_id") < F.col("right_id"))
+        .select("left_id", "right_id")
+        .distinct()
+    )
+    lt = keyed.select(F.col("id").alias("left_id"), F.col("toks").alias("ltoks"))
+    rt = keyed.select(F.col("id").alias("right_id"), F.col("toks").alias("rtoks"))
+    verified = (
+        cand.join(lt, "left_id")
+        .join(rt, "right_id")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("ltoks", "rtoks")).cast("double")
+            / F.size(F.array_union("ltoks", "rtoks")),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+    )
+    return verified.select("left_id", "right_id", "jaccard")
+
+
+def simhash_dedup_pairs(
+    docs: DataFrame,
+    max_hamming: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash near-dup pairs: 16-bit simhash, block on the two 8-bit
+    halves (any pair within Hamming ≤ 2 of a 16-bit code shares at least
+    one identical half — pigeonhole), verify Hamming ≤ max_hamming.
+
+    Returns (left_id, right_id, hamming)."""
+    from ..functions.textstats import hamming_bitstring
+
+    keyed = docs.select(
+        F.col(id_col).alias("id"), simhash_bitstring(F.col(text_col)).alias("sh")
+    )
+    halves = None
+    for part, (start, ln) in enumerate([(1, 8), (9, 8)]):
+        h = keyed.select(
+            "id", "sh", F.concat(F.lit(f"{part}:"), F.substring("sh", start, ln)).alias("bk")
+        )
+        halves = h if halves is None else halves.unionByName(h)
+    l = halves.select("bk", F.col("id").alias("left_id"), F.col("sh").alias("lsh"))
+    r = halves.select("bk", F.col("id").alias("right_id"), F.col("sh").alias("rsh"))
+    cand = (
+        l.join(r, "bk")
+        .filter(F.col("left_id") < F.col("right_id"))
+        .select("left_id", "right_id", "lsh", "rsh")
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", hamming_bitstring(F.col("lsh"), F.col("rsh")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("left_id", "right_id", "hamming")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_cols: list[str] | None = None,
+) -> DataFrame:
+    """Word n-gram (shingle) Jaccard near-dup pairs within cheap blocks
+    (default: same lang + same token-count bucket). Returns
+    (left_id, right_id, ngram_jaccard)."""
+    toks = ws_tokens(F.lower(F.col(text_col)))
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+    block = block_cols if block_cols is not None else ["lang"]
+    keyed = docs.select(
+        F.col(id_col).alias("id"),
+        shingles.alias("sh"),
+        F.concat_ws(
+            ":",
+            *[F.col(c) for c in block],
+            F.floor(F.size(toks) / F.lit(20.0)).cast("long").cast("string"),
+        ).alias("bk"),
+    )
+    l = keyed.select("bk", F.col("id").alias("left_id"), F.col("sh").alias("lsh"))
+    r = keyed.select("bk", F.col("id").alias("right_id"), F.col("sh").alias("rsh"))
+    return (
+        l.join(r, "bk")
+        .filter(F.col("left_id") < F.col("right_id"))
+        .withColumn(
+            "ngram_jaccard",
+            F.size(F.array_intersect("lsh", "rsh")).cast("double")
+            / F.size(F.array_union("lsh", "rsh")),
+        )
+        .filter(F.col("ngram_jaccard") >= threshold)
+        .select("left_id", "right_id", "ngram_jaccard")
+    )
+
+
+def embedding_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs within coarse blocks (e.g. an IVF
+    cell / cluster label): cosine ≥ threshold. Cosine is computed with
+    built-in array expressions (zip_with + aggregate) — JVM-side, no UDF.
+
+    Returns (left_id, right_id, cosine)."""
+    def norm(c):
+        return F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x))
+
+    keyed = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.col(block_col).alias("bk"),
+        norm(F.col(vec_col)).alias("nrm"),
+    )
+    l = keyed.select("bk", F.col("id").alias("left_id"), F.col("v").alias("lv"), F.col("nrm").alias("ln"))
+    r = keyed.select("bk", F.col("id").alias("right_id"), F.col("v").alias("rv"), F.col("nrm").alias("rn"))
+    dot = F.aggregate(
+        F.zip_with("lv", "rv", lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        l.join(r, "bk")
+        .filter(F.col("left_id") < F.col("right_id"))
+        .withColumn("cosine", dot / (F.col("ln") * F.col("rn")))
+        .filter(F.col("cosine") >= threshold)
+        .select("left_id", "right_id", "cosine")
+    )

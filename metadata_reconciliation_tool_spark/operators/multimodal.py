@@ -1,0 +1,117 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed via Arrow-batched ``mapInPandas``.
+
+The Spark-side machinery (schemas, batch iteration, partition sizing,
+deterministic synthetic payloads) is real and tested; the actual media
+decode is STUBBED — codec libraries (PIL/ffmpeg/librosa) are not in this
+container. Each stub either raises NotImplementedError (strict mode) or
+produces a deterministic fake derived from the bytes (test mode), keeping
+the pipeline shape — schema in, schema out, batch-wise Arrow transfer —
+exactly what would run at scale with the real decoder dropped in.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
+        T.StructField("payload", T.BinaryType(), False),
+        T.StructField("mime", T.StringType(), False),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType()), True),
+    ]
+)
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("n_bytes", T.IntegerType(), False),
+        T.StructField("content_hash", T.StringType(), False),
+        T.StructField("feature", T.ArrayType(T.FloatType()), False),
+    ]
+)
+
+FEATURE_DIM = 16
+
+
+def gen_media(spark: SparkSession, n: int = 64) -> DataFrame:
+    """Deterministic synthetic media table: payload bytes derived from the
+    id (no randomness, no wall clock)."""
+    kinds = ["image", "audio", "video"]
+    mimes = {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}
+    base = spark.range(n).select(
+        F.col("id").alias("media_id"),
+        F.element_at(F.lit(kinds), (F.pmod("id", F.lit(3)) + 1).cast("int")).alias("kind"),
+    )
+    payload = F.encode(
+        F.concat(F.lit("payload:"), F.repeat(F.md5(F.col("media_id").cast("string")), 4)),
+        "utf-8",
+    )
+    return base.select(
+        "media_id",
+        "kind",
+        payload.alias("payload"),
+        F.element_at(
+            F.create_map(*[F.lit(x) for kv in mimes.items() for x in kv]), F.col("kind")
+        ).alias("mime"),
+        F.create_map(F.lit("synthetic"), F.lit("true")).alias("meta"),
+    )
+
+
+def _decode_stub(payload: bytes, kind: str, strict: bool) -> np.ndarray:
+    """STUB for the real media decoder. Real implementation would be:
+    image → PIL.Image.open + resize + pixel stats; audio → waveform frames;
+    video → frame sampling. Deterministic fake: hash-seeded feature vector."""
+    if strict:
+        raise NotImplementedError(
+            f"media decode for kind={kind!r} requires codec libraries "
+            "not present in this environment"
+        )
+    digest = hashlib.sha256(payload).digest()
+    raw = np.frombuffer((digest * ((FEATURE_DIM * 4) // len(digest) + 1))[: FEATURE_DIM * 4], dtype=np.uint32)
+    return (raw % 1000).astype(np.float32) / 1000.0
+
+
+def extract_features(media: DataFrame, strict: bool = False) -> DataFrame:
+    """media → FEATURES_SCHEMA via mapInPandas: Arrow batches in, Arrow
+    batches out; one Python worker pass per partition. The decode stub is
+    the only line that changes when real codecs are available."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                _decode_stub(p, k, strict) for p, k in zip(pdf["payload"], pdf["kind"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pdf["payload"].map(len).astype("int32"),
+                    "content_hash": [hashlib.sha256(p).hexdigest() for p in pdf["payload"]],
+                    "feature": [f.tolist() for f in feats],
+                }
+            )
+
+    return media.mapInPandas(fn, FEATURES_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame-sampling *plan*: expands each video row into frame-index
+    rows (posexplode of a sequence derived from metadata) — the shuffle and
+    row-explosion shape of real frame extraction, with the decode stubbed."""
+    videos = media.filter(F.col("kind") == "video")
+    n_frames = (F.length("payload") / 8).cast("int")  # stub: bytes→frame count
+    return videos.select(
+        "media_id",
+        F.explode(F.sequence(F.lit(0), n_frames, F.lit(every_n))).alias("frame_idx"),
+    )

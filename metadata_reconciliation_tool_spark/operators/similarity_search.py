@@ -1,0 +1,155 @@
+"""Approximate-nearest-neighbor search over an embedding column
+(array<float>).
+
+- :func:`brute_force_topk` — exact cosine top-k via built-in array
+  expressions (zip_with dot product + window rank). The correctness
+  baseline; O(Q × N) — fine when the query side is small/broadcastable.
+- :func:`srp_lsh_topk` — the scale path: sign-random-projection LSH
+  buckets (deterministic seeded hyperplanes), candidates only within
+  matching buckets (multi-probe via several independent tables), exact
+  re-rank inside buckets. At 10^9 vectors this turns the cross product
+  into #tables × bucket-local joins.
+
+Determinism: ranking ties broken by neighbor id; hyperplanes derived from a
+fixed seed (never wall-clock).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(c: Column) -> Column:
+    return F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    q_id: str = "vec_id",
+    q_vec: str = "embedding",
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the query side, rank per query.
+    Returns (query_id, neighbor_id, cosine, rank); self-pairs excluded."""
+    q = F.broadcast(
+        queries.select(F.col(q_id).alias("query_id"), F.col(q_vec).alias("qv"))
+    )
+    c = corpus.select(F.col(c_id).alias("neighbor_id"), F.col(c_vec).alias("cv"))
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("cosine", 6)), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _srp_planes(dim: int, n_planes: int, table: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.RandomState(seed + 1000 * table)
+    return rng.standard_normal((n_planes, dim))
+
+
+def srp_bucket(vec: Column, planes: np.ndarray) -> Column:
+    """Sign-random-projection bucket id: one bit per hyperplane, as a
+    bitstring. Pure Column exprs — the plane coefficients are literals."""
+    bits = []
+    for row in planes:
+        coeffs = F.array(*[F.lit(float(x)) for x in row])
+        d = _dot(vec, coeffs)
+        bits.append(F.when(d >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def srp_lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    q_id: str = "vec_id",
+    q_vec: str = "embedding",
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+) -> DataFrame:
+    """ANN top-k: union of n_tables SRP bucket joins, exact cosine re-rank
+    within candidates. Recall grows with n_tables (multi-probe); each table
+    is an equi-join on an 8-bit bucket key — shuffle on the key only."""
+    q = queries.select(F.col(q_id).alias("query_id"), F.col(q_vec).alias("qv"))
+    c = corpus.select(F.col(c_id).alias("neighbor_id"), F.col(c_vec).alias("cv"))
+    cand = None
+    for t in range(n_tables):
+        planes = _srp_planes(dim, n_planes, t)
+        qb = q.withColumn("bk", F.concat(F.lit(f"{t}:"), srp_bucket(F.col("qv"), planes)))
+        cb = c.withColumn("bk", F.concat(F.lit(f"{t}:"), srp_bucket(F.col("cv"), planes)))
+        j = qb.join(cb, "bk").select("query_id", "qv", "neighbor_id", "cv")
+        cand = j if cand is None else cand.unionByName(j)
+    cand = cand.filter(F.col("query_id") != F.col("neighbor_id")).dropDuplicates(
+        ["query_id", "neighbor_id"]
+    )
+    scored = cand.withColumn("cosine", cosine(F.col("qv"), F.col("cv")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("cosine", 6)), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def centroid_topk_per_label(
+    embeddings: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """IVF-style demo: per-label centroid (avg of vectors via posexplode +
+    groupBy), then top-k vectors closest to their own centroid. Exercises
+    the centroid-assignment half of an IVF index as declarative Spark."""
+    exploded = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(label_col).alias("lbl"),
+        F.posexplode(F.col(vec_col)).alias("pos", "x"),
+    )
+    centroids = (
+        exploded.groupBy("lbl", "pos")
+        .agg(F.avg(F.col("x").cast("double")).alias("cx"))
+        .groupBy("lbl")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cx"))).alias("pairs"))
+        .select("lbl", F.transform("pairs", lambda p: p["cx"]).alias("centroid"))
+    )
+    joined = embeddings.select(
+        F.col(id_col).alias("id"), F.col(label_col).alias("lbl"), F.col(vec_col).alias("v")
+    ).join(F.broadcast(centroids), "lbl")
+    scored = joined.withColumn("cosine", cosine(F.col("v"), F.col("centroid")))
+    w = Window.partitionBy("lbl").orderBy(F.desc(F.round("cosine", 6)), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("lbl").alias("label"), F.col("id").alias("vec_id"), "cosine", "rank")
+    )
