@@ -1,0 +1,143 @@
+"""Training-data operator checks: dedup suite, similarity search,
+multimodal plumbing — on tiny planted inputs plus sf0.001 testdata."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog", "en", "s0"),
+            (1, "the quick brown fox jumps over the lazy dog", "en", "s0"),  # exact dup
+            (2, "the quick brown fox jumped over the lazy dog", "en", "s0"),  # near dup
+            (3, "lazy the dog quick brown fox jumps over the", "en", "s0"),  # reordered
+            (4, "completely different content about spark engines", "en", "s0"),
+            (5, "absolument rien a voir avec le reste du corpus", "fr", "s0"),
+        ],
+        ["doc_id", "text", "lang", "source"],
+    )
+
+
+def test_exact_dedup_keeps_min_id(docs):
+    from metadata_reconciliation_tool_spark.operators.dedup import exact_dedup
+
+    ids = sorted(r.doc_id for r in exact_dedup(docs).collect())
+    assert ids == [0, 2, 3, 4, 5]  # doc 1 removed (dup of 0)
+
+
+def test_fingerprint_dedup_collapses_reorder(docs):
+    from metadata_reconciliation_tool_spark.operators.dedup import fingerprint_dedup
+
+    ids = sorted(r.doc_id for r in fingerprint_dedup(docs).collect())
+    # doc 3 is a token-reorder of doc 0's token set → collapsed
+    assert 3 not in ids and 0 in ids
+
+
+def test_minhash_finds_planted_near_dup(docs):
+    from metadata_reconciliation_tool_spark.operators.dedup import minhash_lsh_pairs
+
+    pairs = {(r.left_id, r.right_id) for r in minhash_lsh_pairs(docs).collect()}
+    assert (0, 1) in pairs  # exact dup
+    assert (0, 2) in pairs  # 1-word edit
+    assert not any(5 in p for p in pairs)  # the french doc matches nothing
+
+
+def test_simhash_hamming_bounds(docs):
+    from metadata_reconciliation_tool_spark.operators.dedup import simhash_dedup_pairs
+
+    rows = simhash_dedup_pairs(docs).collect()
+    got = {(r.left_id, r.right_id): r.hamming for r in rows}
+    assert got.get((0, 1)) == 0  # identical text → identical simhash
+    assert all(h <= 2 for h in got.values())
+
+
+def test_ngram_jaccard_scores(docs):
+    from metadata_reconciliation_tool_spark.operators.dedup import ngram_jaccard_pairs
+
+    rows = {
+        (r.left_id, r.right_id): r.ngram_jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    assert rows[(0, 1)] == 1.0
+    # one word edited in 9 tokens touches 3 of 7 shingles → 4/10 = 0.4
+    assert rows[(0, 2)] == 0.4
+    assert (0, 4) not in rows
+
+
+def test_brute_force_topk_sanity(spark):
+    from metadata_reconciliation_tool_spark.operators.similarity_search import (
+        brute_force_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out = brute_force_topk(emb.filter("vec_id < 5"), emb, k=3)
+    rows = out.collect()
+    assert len(rows) == 15  # 5 queries × 3
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+        assert r.query_id != r.neighbor_id
+        assert -1.0 <= r.cosine <= 1.0
+    for q, rs in by_q.items():
+        ranks = sorted(r.rank for r in rs)
+        assert ranks == [1, 2, 3]
+        sims = [r.cosine for r in sorted(rs, key=lambda x: x.rank)]
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_srp_lsh_recall_vs_brute_force(spark):
+    from metadata_reconciliation_tool_spark.operators.similarity_search import (
+        brute_force_topk,
+        srp_lsh_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter("vec_id < 10")
+    exact = {(r.query_id, r.neighbor_id) for r in brute_force_topk(q, emb, k=5).collect()}
+    # these embeddings' true neighbors are weak (max cosine ≈ 0.47), so the
+    # bucket probability per plane is near-coin-flip: use short codes and
+    # more tables (at real scale, high-cosine dup detection uses longer codes)
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in srp_lsh_topk(q, emb, k=5, n_planes=4, n_tables=8).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"SRP-LSH recall {recall}"
+
+
+def test_multimodal_plumbing(spark):
+    from metadata_reconciliation_tool_spark.operators.multimodal import (
+        FEATURE_DIM,
+        extract_features,
+        gen_media,
+    )
+
+    media = gen_media(spark, 32)
+    feats = extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 32
+    for r in rows:
+        assert len(r.feature) == FEATURE_DIM
+        assert len(r.content_hash) == 64
+    # determinism: rerun gives identical features
+    again = {r.media_id: r.feature for r in extract_features(media).collect()}
+    for r in rows:
+        assert again[r.media_id] == r.feature
+
+
+def test_multimodal_strict_mode_raises(spark):
+    from metadata_reconciliation_tool_spark.operators.multimodal import (
+        extract_features,
+        gen_media,
+    )
+    from py4j.protocol import Py4JJavaError
+
+    with pytest.raises(Exception) as ei:
+        extract_features(gen_media(spark, 4), strict=True).collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(ei.value, Py4JJavaError)

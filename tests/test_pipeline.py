@@ -1,0 +1,109 @@
+"""End-to-end gates: labeled-pair F1 ≥ 0.99 at shared blocking keys,
+blocking recall, transitive-cluster oracle, best-match sanity, idempotent
+resume (SURVEY.md §5; BASELINE.md rebuild targets)."""
+
+from __future__ import annotations
+
+import shutil
+
+import pyspark.sql.functions as F
+
+
+def _f1(spark, bundle, self_scores):
+    lp = spark.createDataFrame(bundle["labeled_pairs"]).withColumnRenamed(
+        "is_match", "truth"
+    )
+    scored = self_scores.select(
+        "left_key", "right_key", F.col("is_match").alias("pred0")
+    )
+    j = lp.join(scored, ["left_key", "right_key"], "left").withColumn(
+        "pred", F.coalesce("pred0", F.lit(False))
+    )
+    tp = j.filter("pred and truth").count()
+    fp = j.filter("pred and not truth").count()
+    fn = j.filter("not pred and truth").count()
+    unscored = j.filter("pred0 is null and truth").count()
+    prec = tp / max(tp + fp, 1)
+    rec = tp / max(tp + fn, 1)
+    return 2 * prec * rec / max(prec + rec, 1e-9), unscored, (tp, fp, fn)
+
+
+def test_pairwise_f1_gate(spark, bundle, pipeline_out):
+    """North-rule gate: pairwise match F1 ≥ 0.99 on labeled pairs at shared
+    blocking keys."""
+    f1, unscored, counts = _f1(spark, bundle, pipeline_out["self_scores"])
+    assert unscored == 0, f"blocking missed {unscored} labeled positives"
+    assert f1 >= 0.99, f"F1={f1} (tp,fp,fn)={counts}"
+
+
+def test_blocking_reaches_every_labeled_pair(spark, bundle, pipeline_out):
+    """Every labeled pair (positive or negative) shares a blocking key by
+    construction — the pipeline must actually generate and score it."""
+    lp = spark.createDataFrame(bundle["labeled_pairs"][["left_key", "right_key"]])
+    scored = pipeline_out["self_scores"].select("left_key", "right_key")
+    missing = lp.join(scored, ["left_key", "right_key"], "left_anti").count()
+    assert missing == 0
+
+
+def test_cluster_oracle_exact(spark, bundle, pipeline_out):
+    """Transitive clustering equals the oracle exactly (same min-key
+    convention), including chain cases that force transitivity."""
+    exp = spark.createDataFrame(bundle["expected_clusters"]).withColumnRenamed(
+        "cluster_id", "exp_cid"
+    )
+    got = pipeline_out["clusters"].join(exp, "entity_key", "inner")
+    assert got.count() == len(bundle["expected_clusters"])
+    assert got.filter("cluster_id <> exp_cid").count() == 0
+
+
+def test_best_match_canonicals(spark, bundle, pipeline_out):
+    """Every canonical-form entity best-matches its own dictionary record
+    with score 1.0 (the dictionary labels ARE the canonicals)."""
+    canon_keys = [v.key for v in bundle["variants"] if v.rule == "canonical"]
+    auth_by_ent = {f"Q{e.entity_id + 1000}" for e in bundle["pool"]}
+    best = pipeline_out["best"].filter(F.col("entity_key").isin(canon_keys))
+    rows = best.collect()
+    assert len(rows) == len(canon_keys)
+    for r in rows:
+        assert r.right_key in auth_by_ent
+        assert r.score == 1.0
+
+
+def test_match_rate_metrics_written(spark, pipeline_out):
+    work = pipeline_out["_work_dir"]
+    m = spark.read.parquet(f"{work}/job_metrics")
+    metrics = {r.metric for r in m.collect()}
+    assert {"rows", "successful_matches", "match_rate"} <= metrics
+
+
+def test_resume_idempotent(spark, bundle, pipeline_out):
+    """ST2/ST3 analogue: delete one stage output, rerun with force=False →
+    only that stage recomputes; results byte-identical."""
+    from metadata_reconciliation_tool_spark.plans.pipeline import (
+        ReconConfig,
+        ReconPipeline,
+    )
+
+    work = pipeline_out["_work_dir"]
+    before = pipeline_out["clusters"].orderBy("entity_key").collect()
+    shutil.rmtree(f"{work}/t1/stage_clusters")
+    cfg = ReconConfig(job_id="t1", work_dir=work, force=False)
+    out2 = ReconPipeline(spark, cfg).run(bundle["transcripts"], bundle["dictionary"])
+    after = out2["clusters"].orderBy("entity_key").collect()
+    assert before == after
+
+
+def test_per_rule_recall(spark, bundle, pipeline_out):
+    """Each variant class (FIXTURES.md §3) individually achieves full recall
+    — a regression in one blocking pass can't hide behind the aggregate."""
+    lp = spark.createDataFrame(bundle["labeled_pairs"]).filter("is_match")
+    scored = pipeline_out["self_scores"].filter("is_match").select(
+        "left_key", "right_key"
+    )
+    missed = (
+        lp.join(scored, ["left_key", "right_key"], "left_anti")
+        .groupBy("variant_rule")
+        .count()
+        .collect()
+    )
+    assert missed == [], f"missed positives by rule: {missed}"

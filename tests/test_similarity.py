@@ -1,0 +1,85 @@
+"""Similarity-kernel pins (pure Python) + UDF↔twin parity."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from metadata_reconciliation_tool_spark.functions.similarity import (
+    jaro_winkler_py,
+    lev_ratio_py,
+    levenshtein_py,
+    lsh_keys_py,
+    lsh_keys_udf,
+    metaphone_py,
+    name_align_py,
+    surname_key_py,
+    surname_key_udf,
+)
+
+
+# classic published Jaro-Winkler reference values
+@pytest.mark.parametrize(
+    "a,b,expected",
+    [
+        ("martha", "marhta", 0.9611),
+        ("dixon", "dicksonx", 0.8133),
+        ("jellyfish", "smellyfish", 0.8962),
+        ("abc", "abc", 1.0),
+        ("", "abc", 0.0),
+    ],
+)
+def test_jaro_winkler_pins(a, b, expected):
+    assert jaro_winkler_py(a, b) == pytest.approx(expected, abs=1e-4)
+
+
+def test_levenshtein_pins():
+    assert levenshtein_py("kitten", "sitting") == 3
+    assert levenshtein_py("", "abc") == 3
+    assert levenshtein_py("abc", "abc") == 0
+    assert lev_ratio_py("abcd", "abce") == 0.75
+
+
+@pytest.mark.parametrize(
+    "a,b,collide",
+    [
+        ("shakespeare", "shakespear", True),
+        ("shakespeare", "shakespeere", True),
+        ("smith", "smyth", True),
+        ("catherine", "katherine", True),
+        ("philip", "filip", True),
+        ("shakespeare", "ashworth", False),
+        ("smith", "jones", False),
+    ],
+)
+def test_metaphone_collisions(a, b, collide):
+    assert (metaphone_py(a) == metaphone_py(b)) is collide
+
+
+def test_name_align_discrimination():
+    # same-entity variants score high
+    assert name_align_py("w shakespeare", "william shakespeare") > 0.9
+    assert name_align_py("dr william shakespeare", "william shakespeare") > 0.9
+    assert name_align_py("willam shakespeare", "william shakespeare") > 0.9
+    # different entities sharing a surname score low (weakest-link penalty)
+    assert name_align_py("o blackwood", "q blackwood") < 0.5
+    assert name_align_py("sophia ashworth", "oliver ashworth") < 0.65
+    assert name_align_py("", "anything") == 0.0
+
+
+def test_surname_key_initials_robust():
+    assert surname_key_py("w shakespeare") == surname_key_py("william shakespeare")
+    assert surname_key_py("anna marie") == surname_key_py("a marie")
+
+
+def test_lsh_and_surname_udf_twin_parity(spark):
+    names = ["william shakespeare", "shakespear william", "mount lockwood", ""]
+    df = spark.createDataFrame([(n,) for n in names], ["n"])
+    rows = df.select(
+        "n",
+        lsh_keys_udf(F.col("n")).alias("lsh"),
+        surname_key_udf(F.col("n")).alias("sk"),
+    ).collect()
+    for r in rows:
+        assert list(r.lsh) == lsh_keys_py(r.n)
+        assert r.sk == surname_key_py(r.n)
