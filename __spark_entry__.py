@@ -630,6 +630,89 @@ def _f17(spark, sf):
     )
 
 
+@_q(
+    "f8_prefix_tier",
+    """
+    WITH base AS (
+      SELECT p_partkey, lower(p_name) AS r, 'small' AS q, p_type <> '' AS hd FROM part
+    ), toks AS (
+      SELECT *, list_distinct(string_split(q, ' ')) AS qt,
+             list_distinct(string_split(r, ' ')) AS rt FROM base
+    )
+    SELECT p_partkey, CAST(round(CASE
+      WHEN q = r THEN 0.95
+      WHEN starts_with(r, q) THEN CASE WHEN hd THEN 0.85 ELSE 0.75 END
+      WHEN contains(r, q) THEN CASE WHEN hd THEN 0.70 ELSE 0.60 END
+      WHEN len(list_distinct(qt || rt)) > 0
+           AND len(list_intersect(qt, rt)) * 1.0 / len(list_distinct(qt || rt)) > 0.5
+        THEN 0.50 + (len(list_intersect(qt, rt)) * 1.0 / len(list_distinct(qt || rt)) - 0.5) * 0.4
+      ELSE 0.3 END, 6) AS DOUBLE) AS score
+    FROM toks
+    """,
+)
+def _f8(spark, sf):
+    """F8 prefix-tier ladder with description boost (data_sources.py:71-101)."""
+    from metadata_reconciliation_tool_spark.functions.confidence import (
+        prefix_tier_score,
+    )
+
+    return _t(spark, sf, "part").select(
+        "p_partkey",
+        F.round(
+            prefix_tier_score(F.lit("small"), F.lower("p_name"), F.col("p_type") != ""),
+            6,
+        ).alias("score"),
+    )
+
+
+@_q(
+    "f14_type_infer",
+    """
+    WITH named AS (
+      SELECT p_partkey, CASE CAST(p_partkey % 3 AS INT)
+        WHEN 0 THEN 'Dr. ' || p_name
+        WHEN 1 THEN 'Museum Of ' || p_name
+        ELSE 'Lake ' || p_name END AS nm
+      FROM part)
+    SELECT p_partkey, CASE
+      WHEN regexp_matches(lower(nm), '^(mr|mrs|ms|dr|prof|sir|dame)\\.?\\s') THEN 'person'
+      WHEN regexp_matches(lower(nm), '(museum|institute|university|library|society|college|company|corporation|foundation)') THEN 'organization'
+      WHEN regexp_matches(lower(nm), '(lake|mount|port|city|county|river|north|south|east|west)') THEN 'place'
+      WHEN regexp_matches(nm, '^[A-Z][a-z]+\\s+[A-Z][a-z]+$') THEN 'person'
+      WHEN regexp_matches(nm, '^[A-Z][a-z]+,\\s*[A-Z][a-z]+$') THEN 'person'
+      ELSE 'unknown' END AS entity_type
+    FROM named
+    """,
+)
+def _f14(spark, sf):
+    """F14 entity-type inference ladder (reconciliation_engine.py:524-539)
+    over synthesized title/org/place-keyword names."""
+    from metadata_reconciliation_tool_spark.operators.extract import (
+        infer_entity_type_expr,
+    )
+
+    nm = (
+        F.when(F.pmod("p_partkey", F.lit(3)) == 0, F.concat(F.lit("Dr. "), F.col("p_name")))
+        .when(F.pmod("p_partkey", F.lit(3)) == 1, F.concat(F.lit("Museum Of "), F.col("p_name")))
+        .otherwise(F.concat(F.lit("Lake "), F.col("p_name")))
+    )
+    return _t(spark, sf, "part").select(
+        "p_partkey", infer_entity_type_expr(nm).alias("entity_type")
+    )
+
+
+@_q("multimodal_frame_sample")
+def _mmf(spark, sf):
+    """Video frame-sampling plan (row explosion via sequence/posexplode;
+    decode stubbed — rows-only check)."""
+    from metadata_reconciliation_tool_spark.operators.multimodal import (
+        frame_sample_plan,
+        gen_media,
+    )
+
+    return frame_sample_plan(gen_media(spark, 48))
+
+
 # ---- streaming twins ---------------------------------------------------------
 
 

@@ -1,0 +1,124 @@
+"""Benchmark harness — prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}
+
+Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] (default 32).
+
+Two workload groups:
+- the reconciliation pipeline (the north-rule workload) on a synthetic
+  transcripts table scaled to the sf — reports scored_pairs and
+  scored_pairs_per_sec alongside wall time;
+- headline relational / training-data queries from __spark_entry__,
+  materialized with the noop sink (count() would let Catalyst prune the
+  compute being measured).
+
+Scaling evidence (N vs 4N parallelism) is produced by tools/scaling_bench.py,
+which invokes this file at two SPARK_GRAFT_CPUS values on identical input.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_SIZES = {
+    # sf → (n_entities, n_convs); turns = n_convs * 16, mention every 3rd turn
+    "0.001": (40, 160),
+    "0.01": (200, 2000),
+    "0.1": (2000, 20000),
+}
+
+HEADLINE = [
+    "a4_pricing_summary",
+    "j1_fk_join_agg",
+    "j_multiway_topn",
+    "w1_rank_topk",
+    "st_windowed_rollup",
+    "st_sessionize",
+    "dedup_exact",
+    "dedup_simhash",
+    "text_quality",
+    "text_token_counts",
+    "text_langid",
+    "ann_brute_force_topk",
+]
+
+
+def _materialize(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    import __spark_entry__ as entry_mod
+    from metadata_reconciliation_tool_spark.fixtures import (
+        build_variants,
+        entity_pool,
+        gen_dictionary,
+        gen_transcripts,
+    )
+    from metadata_reconciliation_tool_spark.plans.pipeline import (
+        ReconConfig,
+        ReconPipeline,
+    )
+    from metadata_reconciliation_tool_spark.session import build_session
+
+    spark = build_session(master=f"local[{cpus}]", shuffle_partitions=cpus)
+
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    # --- reconciliation pipeline at sf-scaled synthetic size -----------------
+    n_entities, n_convs = SF_SIZES.get(sf, SF_SIZES["0.1"])
+    n_entities = int(os.environ.get("SPARK_GRAFT_BENCH_ENTITIES", n_entities))
+    n_convs = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", n_convs))
+    pool = entity_pool(n_entities)
+    variants = build_variants(pool)
+    transcripts = gen_transcripts(spark, variants, n_convs=n_convs, turns_per_conv=16)
+    dictionary = gen_dictionary(spark, pool)
+    work = f"/tmp/recon_bench_c{cpus}"
+    shutil.rmtree(work, ignore_errors=True)
+    cfg = ReconConfig(job_id="bench", work_dir=work, force=True, collect_metrics=False)
+    t0 = time.time()
+    out = ReconPipeline(spark, cfg).run(transcripts, dictionary)
+    recon_sec = time.time() - t0
+    scored = out["dict_scores"].count() + out["self_scores"].count()
+    timings["recon_pipeline"] = round(recon_sec, 3)
+    extra["n_turns"] = n_convs * 16
+    extra["scored_pairs"] = scored
+    extra["scored_pairs_per_sec"] = round(scored / recon_sec, 1)
+
+    # --- headline queries on the sf tables -----------------------------------
+    if os.environ.get("SPARK_GRAFT_RECON_ONLY") != "1":
+        qs = entry_mod.queries()
+        for name in HEADLINE:
+            t0 = time.time()
+            _materialize(qs[name](spark, sf_dir))
+            timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "recon_pipeline+headline_queries_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+                "cpus": cpus,
+                **extra,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

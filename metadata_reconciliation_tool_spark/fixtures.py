@@ -63,6 +63,28 @@ _LAST = [
     "harrington", "castellano", "brightwater", "montgomery", "fitzgerald",
     "abernathy", "rutherford", "blackwood", "stanhope", "winterbourne",
 ]
+
+# Syllable pools: at bench scales (thousands of entities) fixed name lists
+# would make every surname a hot block and the pair count quadratic — the
+# syllable product space (24³ ≈ 13.8k surnames) keeps block sizes realistic
+# at any pool size while staying fully deterministic.
+_SYL_FIRST = ["an", "bel", "cor", "dra", "eli", "fio", "gwen", "hal", "ia",
+              "jo", "kat", "leo", "mira", "nor", "ot", "pris", "quin", "rose"]
+_SYL_LAST = ["an", "ber", "car", "den", "el", "for", "gar", "hil", "ing",
+             "jor", "kel", "lan", "mor", "nor", "ol", "per", "quin", "ros",
+             "sta", "ter", "ul", "ver", "wick", "yar"]
+
+
+def _gen_first(rng: random.Random) -> str:
+    if rng.random() < 0.4:
+        return rng.choice(_FIRST)
+    return "".join(rng.sample(_SYL_FIRST, 2))
+
+
+def _gen_last(rng: random.Random) -> str:
+    if rng.random() < 0.2:
+        return rng.choice(_LAST)
+    return "".join(rng.sample(_SYL_LAST, 3))
 _CITY = [
     "minneapolis", "portsmouth", "galveston", "harrisburg", "tallahassee",
     "sacramento", "providence", "chattanooga", "albuquerque", "savannah",
@@ -94,20 +116,33 @@ def _title(s: str) -> str:
 def entity_pool(n_entities: int = 40, seed: int = 42) -> list[PoolEntity]:
     rng = random.Random(seed)
     pool: list[PoolEntity] = []
+    seen_names: set[str] = set()
     group = 0
     eid = 0
+
+    def _claim(name: str) -> bool:
+        # canonical names must be globally unique — a cross-group name
+        # collision would merge two ground-truth clusters by construction
+        key = normalize_name_py(name)
+        if key in seen_names:
+            return False
+        seen_names.add(key)
+        return True
+
     while len(pool) < n_entities:
         group += 1
         kind = rng.choice(["person", "person", "organization", "place"])
         if kind == "person":
-            last = rng.choice(_LAST)
+            last = _gen_last(rng)
             # sibling first names must start with distinct letters
             # (keeps the initials-subset rule from linking siblings)
-            firsts = rng.sample(_FIRST, k=2)
-            while firsts[0][0] == firsts[1][0]:
-                firsts = rng.sample(_FIRST, k=2)
+            firsts = [_gen_first(rng), _gen_first(rng)]
+            while firsts[0][0] == firsts[1][0] or firsts[0] == firsts[1]:
+                firsts = [_gen_first(rng), _gen_first(rng)]
             for first in firsts[: max(1, min(2, n_entities - len(pool)))]:
                 name = _title(f"{first} {last}")
+                if not _claim(name):
+                    continue
                 pool.append(
                     PoolEntity(
                         eid, name, "person",
@@ -118,7 +153,9 @@ def entity_pool(n_entities: int = 40, seed: int = 42) -> list[PoolEntity]:
                 eid += 1
         elif kind == "organization":
             pat = rng.choice(_ORG_PAT)
-            name = _title(pat.format(city=rng.choice(_CITY), subj=rng.choice(_SUBJ), last=rng.choice(_LAST)))
+            name = _title(pat.format(city=rng.choice(_CITY), subj=rng.choice(_SUBJ), last=_gen_last(rng)))
+            if not _claim(name):
+                continue
             pool.append(
                 PoolEntity(eid, name, "organization",
                            f"a cultural organization known as {name.lower()}", group)
@@ -126,7 +163,9 @@ def entity_pool(n_entities: int = 40, seed: int = 42) -> list[PoolEntity]:
             eid += 1
         else:
             pat = rng.choice(_PLACE_PAT)
-            name = _title(pat.format(city=rng.choice(_CITY), last=rng.choice(_LAST)))
+            name = _title(pat.format(city=rng.choice(_CITY), last=_gen_last(rng)))
+            if not _claim(name):
+                continue
             pool.append(
                 PoolEntity(eid, name, "place",
                            f"a geographic location called {name.lower()}", group)

@@ -394,6 +394,29 @@ def name_align_udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
     )
 
 
+@F.pandas_udf(
+    T.StructType(
+        [
+            T.StructField("jaro_winkler", T.DoubleType()),
+            T.StructField("name_align", T.DoubleType()),
+        ]
+    )
+)
+def batteries_udf(s1: pd.Series, s2: pd.Series) -> pd.DataFrame:
+    """Fused python batteries: ONE Arrow round-trip per batch computes both
+    whole-string Jaro-Winkler and token-aligned similarity. Keeping a single
+    pandas UDF in the scoring projection matters at scale: each extra UDF is
+    another JVM↔Python transfer of every pair, and in local mode another
+    oversubscribed Python worker per core. (Token-set Levenshtein moved to
+    the JVM built-in `levenshtein` — see operators/scoring.py.)"""
+    return pd.DataFrame(
+        {
+            "jaro_winkler": [jaro_winkler_py(a or "", b or "") for a, b in zip(s1, s2)],
+            "name_align": [name_align_py(a, b) for a, b in zip(s1, s2)],
+        }
+    )
+
+
 def surname_key_py(norm_name: str) -> str:
     """Phonetic blocking key: metaphone of the longest token (surname-ish).
 

@@ -74,38 +74,46 @@ def add_block_keys(
     )
 
 
-def _pass_frames(keyed: DataFrame, id_col: str) -> dict[str, DataFrame]:
-    """(id, block_key) per pass, LSH exploded."""
-    return {
-        "prefix": keyed.select(F.col(id_col).alias("id"), F.col("block_prefix").alias("block_key")),
-        "metaphone": keyed.select(F.col(id_col).alias("id"), F.col("block_metaphone").alias("block_key")).filter(F.col("block_key") != ""),
-        "lsh": keyed.select(F.col(id_col).alias("id"), F.explode("block_lsh").alias("block_key")),
-    }
+def _pass_keys(keyed: DataFrame, id_col: str) -> DataFrame:
+    """One (id, block_pass, block_key) frame for all three passes — a
+    single explode instead of three separate branches keeps the downstream
+    work to ONE aggregate and ONE join (per-job fixed costs matter: the
+    pipeline's stage count is the latency floor on small inputs and the
+    scheduler load at 10^12 rows)."""
+    passes = F.array(
+        F.struct(F.lit("prefix").alias("block_pass"), F.col("block_prefix").alias("block_key")),
+        F.struct(F.lit("metaphone").alias("block_pass"), F.col("block_metaphone").alias("block_key")),
+    )
+    lsh = F.transform(
+        F.col("block_lsh"),
+        lambda k: F.struct(F.lit("lsh").alias("block_pass"), k.alias("block_key")),
+    )
+    return (
+        keyed.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.concat(passes, lsh)).alias("p"),
+        )
+        .select("id", "p.block_pass", "p.block_key")
+        .filter(F.col("block_key") != "")
+    )
 
 
 def dictionary_candidates(entities_keyed: DataFrame, dictionary_keyed: DataFrame) -> DataFrame:
     """Entity ↔ authority-dictionary candidate pairs (J3).
 
     The dictionary side is small by construction (it replaces an external
-    authority service) → broadcast every pass: zero shuffle of the
-    10^12-row entity side.
+    authority service) → broadcast: zero shuffle of the 10^12-row entity
+    side. One join on (block_pass, block_key) covers all three passes.
     Returns (left_key=entity_key, right_key=auth_id, block_pass, block_key).
     """
-    ent = _pass_frames(entities_keyed, "entity_key")
-    dic = _pass_frames(dictionary_keyed, "auth_id")
-    parts = []
-    for name in ("prefix", "metaphone", "lsh"):
-        e = ent[name].withColumnRenamed("id", "left_key")
-        d = F.broadcast(dic[name].withColumnRenamed("id", "right_key"))
-        parts.append(
-            e.join(d, "block_key").select(
-                "left_key",
-                "right_key",
-                F.lit(name).alias("block_pass"),
-                "block_key",
-            )
-        )
-    return dedup_pairs(parts[0].unionByName(parts[1]).unionByName(parts[2]))
+    e = _pass_keys(entities_keyed, "entity_key").withColumnRenamed("id", "left_key")
+    d = F.broadcast(
+        _pass_keys(dictionary_keyed, "auth_id").withColumnRenamed("id", "right_key")
+    )
+    joined = e.join(d, ["block_pass", "block_key"]).select(
+        "left_key", "right_key", "block_pass", "block_key"
+    )
+    return dedup_pairs(joined)
 
 
 def self_candidates(
@@ -116,36 +124,30 @@ def self_candidates(
     mandates it).
 
     Within each block the pair count is C(n,2) → blocks above
-    ``max_block_size`` are dropped from that pass and reported. Returns
+    ``max_block_size`` are dropped from that pass and reported (the pairs
+    they would contribute are covered by the other passes or were never
+    tractable; the drop is observable in metrics). Skew beyond the cap is
+    handled by AQE skew-join at runtime. Returns
     (pairs, dropped_blocks_metrics).
     """
-    frames = _pass_frames(entities_keyed, "entity_key")
-    parts, dropped = [], []
-    for name, f in frames.items():
-        f = f.withColumnRenamed("id", "k")
-        sizes = f.groupBy("block_key").agg(F.count("*").alias("block_n"))
-        ok = sizes.filter(F.col("block_n") <= max_block_size)
-        dropped.append(
-            sizes.filter(F.col("block_n") > max_block_size)
-            .withColumn("block_pass", F.lit(name))
-            .select("block_pass", "block_key", "block_n")
-        )
-        fk = f.join(ok.select("block_key"), "block_key")
-        left = fk.select("block_key", F.col("k").alias("left_key"))
-        right = fk.select("block_key", F.col("k").alias("right_key"))
-        parts.append(
-            left.join(right, "block_key")
-            .filter(F.col("left_key") < F.col("right_key"))
-            .select(
-                "left_key",
-                "right_key",
-                F.lit(name).alias("block_pass"),
-                "block_key",
-            )
-        )
-    pairs = dedup_pairs(parts[0].unionByName(parts[1]).unionByName(parts[2]))
-    metrics = dropped[0].unionByName(dropped[1]).unionByName(dropped[2])
-    return pairs, metrics
+    f = _pass_keys(entities_keyed, "entity_key")
+    sizes = f.groupBy("block_pass", "block_key").agg(F.count("*").alias("block_n"))
+    dropped = sizes.filter(F.col("block_n") > max_block_size).select(
+        "block_pass", "block_key", "block_n"
+    )
+    fk = f.join(
+        F.broadcast(dropped.select("block_pass", "block_key")),
+        ["block_pass", "block_key"],
+        "left_anti",
+    )
+    left = fk.select("block_pass", "block_key", F.col("id").alias("left_key"))
+    right = fk.select("block_pass", "block_key", F.col("id").alias("right_key"))
+    pairs = (
+        left.join(right, ["block_pass", "block_key"])
+        .filter(F.col("left_key") < F.col("right_key"))
+        .select("left_key", "right_key", "block_pass", "block_key")
+    )
+    return dedup_pairs(pairs), dropped
 
 
 def dedup_pairs(pairs: DataFrame) -> DataFrame:

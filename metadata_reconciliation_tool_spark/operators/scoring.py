@@ -22,11 +22,7 @@ from ..functions.confidence import (
     wikidata_confidence,
 )
 from ..functions.normalize import distinct_tokens, token_sort
-from ..functions.similarity import (
-    jaro_winkler_udf,
-    name_align_udf,
-    token_lev_ratio_udf,
-)
+from ..functions.similarity import batteries_udf
 
 DEFAULT_MATCH_THRESHOLD = 0.70
 
@@ -73,12 +69,23 @@ def score_pairs(
         / F.size(F.array_union(lt, rt)).cast("double"),
     ).otherwise(F.lit(0.0))
 
+    # token-set Levenshtein stays JVM-side (built-in levenshtein on the
+    # token-sorted forms — whole-stage codegen); the python batteries are
+    # fused into one struct-returning pandas UDF (one Arrow crossing).
     scored = (
         named_pairs.withColumn("_ls", ls)
         .withColumn("_rs", rs)
-        .withColumn("jaro_winkler", jaro_winkler_udf(F.col("_ls"), F.col("_rs")))
-        .withColumn("token_lev_ratio", token_lev_ratio_udf(F.col("left_name"), F.col("right_name")))
-        .withColumn("name_align", name_align_udf(F.col("left_name"), F.col("right_name")))
+        .withColumn("_b", batteries_udf(F.col("_ls"), F.col("_rs")))
+        .withColumn("jaro_winkler", F.col("_b.jaro_winkler"))
+        .withColumn("name_align", F.col("_b.name_align"))
+        .withColumn(
+            "token_lev_ratio",
+            F.when((F.col("_ls") == "") & (F.col("_rs") == ""), F.lit(1.0)).otherwise(
+                1.0
+                - F.levenshtein(F.col("_ls"), F.col("_rs")).cast("double")
+                / F.greatest(F.length("_ls"), F.length("_rs"), F.lit(1))
+            ),
+        )
         .withColumn("jaccard", jaccard)
         .withColumn(
             "wikidata_confidence",
@@ -98,9 +105,11 @@ def score_pairs(
         .withColumn("confidence", confidence_band_5(F.col("score")))
         .withColumn("is_match", F.col("score") >= threshold)
     )
+    passthrough = [c for c in ("pair_kind",) if c in named_pairs.columns]
     return scored.select(
         "left_key",
         "right_key",
+        *passthrough,
         "block_pass",
         "block_key",
         "jaro_winkler",

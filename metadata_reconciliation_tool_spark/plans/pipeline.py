@@ -10,12 +10,13 @@ previous stage's table). Stuck-job recovery (ST3, reset_stuck_jobs.py:17-40)
 becomes a no-op by design.
 
 Stages:
-    entities   extract + normalize + key          (stage_entities)
-    blocking   multi-pass candidate pairs          (stage_blocking)
-    scoring    batteries + composite + bands       (stage_scoring)
-    clusters   CC over matched entity-entity pairs (stage_clusters)
-    best       rank-1 dictionary match per entity  (stage_best_match)
-    metrics    per-stage counters/lineage          (job_metrics, append-only)
+    entities          extract + normalize + key                (stage_entities)
+    entities_distinct dedup-before-compute                     (stage_entities_distinct)
+    blocking          multi-pass pairs, dict+self unioned      (stage_blocking)
+    scoring           batteries + composite + bands, one pass  (stage_scoring)
+    clusters          CC over matched entity-entity pairs      (stage_clusters)
+    best              rank-1 dictionary match per entity       (stage_best)
+    metrics           per-stage counters/lineage               (job_metrics, append-only)
 
 The metrics table is the immutable-log replacement for the reference's
 in-place jobs.progress UPDATEs (database.py:200-223).
@@ -46,6 +47,7 @@ class ReconConfig:
     top_k: int = 10  # reference max_results (reconciliation_engine.py:394)
     max_block_size: int = 1000
     force: bool = False  # recompute even if stage outputs exist
+    collect_metrics: bool = True  # per-stage row counts cost one extra job each
 
 
 class ReconPipeline:
@@ -66,7 +68,8 @@ class ReconPipeline:
         df = compute()
         W.write_stage(df, path, partition_by)
         out = W.read_stage(self.spark, path)
-        self._metric(stage, "rows", float(out.count()))
+        if self.cfg.collect_metrics:
+            self._metric(stage, "rows", float(out.count()))
         return out
 
     def _metric(self, stage: str, metric: str, value: float) -> None:
@@ -86,63 +89,82 @@ class ReconPipeline:
     def entities(self, transcripts: DataFrame) -> DataFrame:
         return self._run_stage("entities", lambda: E.extract_entities(transcripts))
 
-    def blocking(self, entities: DataFrame, dictionary: DataFrame) -> tuple[DataFrame, DataFrame]:
-        distinct = E.distinct_entities(entities)
+    def entities_distinct(self, entities: DataFrame) -> DataFrame:
+        """Dedup-before-compute stage (the reference's cache-hit analogue)
+        checkpointed once — blocking/scoring/clustering/best all reuse it
+        instead of re-aggregating."""
+        return self._run_stage(
+            "entities_distinct", lambda: E.distinct_entities(entities)
+        )
+
+    def blocking(self, distinct: DataFrame, dictionary: DataFrame) -> DataFrame:
+        """One stage for BOTH pair kinds: entity↔dictionary (pair_kind=
+        'dict') and entity↔entity ('self'). A single stage table halves the
+        checkpoint writes and lets scoring make one pass over all pairs."""
         ekeyed = B.add_block_keys(distinct)
         dkeyed = B.add_block_keys(dictionary, "norm_label")
 
-        def compute_dict():
-            return B.dictionary_candidates(ekeyed, dkeyed)
+        def compute():
+            dict_pairs = B.dictionary_candidates(ekeyed, dkeyed).withColumn(
+                "pair_kind", F.lit("dict")
+            )
+            self_pairs, dropped = B.self_candidates(ekeyed, self.cfg.max_block_size)
+            if self.cfg.collect_metrics:
+                self._metric(
+                    "blocking", "oversized_blocks_dropped", float(dropped.count())
+                )
+            return dict_pairs.unionByName(self_pairs.withColumn("pair_kind", F.lit("self")))
 
-        def compute_self():
-            pairs, dropped = B.self_candidates(ekeyed, self.cfg.max_block_size)
-            n_dropped = dropped.count()
-            self._metric("blocking", "oversized_blocks_dropped", float(n_dropped))
-            return pairs
-
-        dict_pairs = self._run_stage("blocking_dict", compute_dict)
-        self_pairs = self._run_stage("blocking_self", compute_self)
-        return dict_pairs, self_pairs
+        return self._run_stage("blocking", compute)
 
     def scoring(
         self,
-        entities: DataFrame,
+        distinct: DataFrame,
         dictionary: DataFrame,
-        dict_pairs: DataFrame,
-        self_pairs: DataFrame,
-    ) -> tuple[DataFrame, DataFrame]:
-        distinct = E.distinct_entities(entities)
+        pairs: DataFrame,
+    ) -> DataFrame:
+        """One scoring pass over all pairs: the right side is the union of
+        the entity table and the (broadcast-sized) dictionary, so one join
+        chain + ONE fused-UDF projection scores everything — bigger Arrow
+        batches, half the stage writes."""
 
-        def compute_dict():
+        def compute():
+            rhs = distinct.select(
+                F.col("entity_key").alias("rid"),
+                F.col("norm_name").alias("rname"),
+                F.lit(None).cast("string").alias("rdesc"),
+            ).unionByName(
+                dictionary.select(
+                    F.col("auth_id").alias("rid"),
+                    F.col("norm_label").alias("rname"),
+                    F.col("description").alias("rdesc"),
+                )
+            )
             named = S.attach_names(
-                dict_pairs,
+                pairs,
                 distinct,
-                dictionary,
-                right_id="auth_id",
-                right_name="norm_label",
-                right_description="description",
+                rhs,
+                right_id="rid",
+                right_name="rname",
+                right_description="rdesc",
             )
             return S.score_pairs(named, self.cfg.match_threshold)
 
-        def compute_self():
-            named = S.attach_names(self_pairs, distinct, distinct)
-            return S.score_pairs(named, self.cfg.match_threshold)
+        return self._run_stage("scoring", compute)
 
-        dict_scores = self._run_stage("scoring_dict", compute_dict)
-        self_scores = self._run_stage("scoring_self", compute_self)
-        return dict_scores, self_scores
-
-    def clusters(self, entities: DataFrame, self_scores: DataFrame) -> DataFrame:
+    def clusters(self, distinct: DataFrame, scores: DataFrame) -> DataFrame:
         def compute():
-            edges = self_scores.filter(F.col("is_match")).select("left_key", "right_key")
+            edges = (
+                scores.filter((F.col("pair_kind") == "self") & F.col("is_match"))
+                .select("left_key", "right_key")
+            )
             comps = C.connected_components(edges)
-            return C.assign_clusters(E.distinct_entities(entities), comps)
+            return C.assign_clusters(distinct, comps)
 
         return self._run_stage("clusters", compute)
 
-    def best_matches(self, entities: DataFrame, dictionary: DataFrame, dict_scores: DataFrame) -> DataFrame:
+    def best_matches(self, distinct: DataFrame, dictionary: DataFrame, dict_scores: DataFrame) -> DataFrame:
         def compute():
-            distinct = E.distinct_entities(entities)
             best = R.best_match(
                 dict_scores.filter(F.col("score") > self.cfg.success_threshold)
             )
@@ -171,20 +193,26 @@ class ReconPipeline:
 
     def run(self, transcripts: DataFrame, dictionary: DataFrame) -> dict[str, DataFrame]:
         ents = self.entities(transcripts)
-        dict_pairs, self_pairs = self.blocking(ents, dictionary)
-        dict_scores, self_scores = self.scoring(ents, dictionary, dict_pairs, self_pairs)
-        clusters = self.clusters(ents, self_scores)
-        best = self.best_matches(ents, dictionary, dict_scores)
-        # A4–A8 analogues: one aggregate per stage → metrics table
-        n_matched = best.filter(F.col("right_key").isNotNull()).count()
-        n_total = best.count()
-        self._metric("best", "successful_matches", float(n_matched))
-        self._metric("best", "match_rate", n_matched / max(n_total, 1))
+        distinct = self.entities_distinct(ents)
+        pairs = self.blocking(distinct, dictionary)
+        scores = self.scoring(distinct, dictionary, pairs)
+        clusters = self.clusters(distinct, scores)
+        dict_scores = scores.filter(F.col("pair_kind") == "dict")
+        self_scores = scores.filter(F.col("pair_kind") == "self")
+        best = self.best_matches(distinct, dictionary, dict_scores)
+        if self.cfg.collect_metrics:
+            # A4–A8 analogues: one aggregate → metrics table
+            agg = best.agg(
+                F.count("*").alias("n"),
+                F.sum(F.when(F.col("right_key").isNotNull(), 1).otherwise(0)).alias("m"),
+            ).collect()[0]
+            self._metric("best", "successful_matches", float(agg["m"]))
+            self._metric("best", "match_rate", agg["m"] / max(agg["n"], 1))
         self.flush_metrics()
         return {
             "entities": ents,
-            "dict_pairs": dict_pairs,
-            "self_pairs": self_pairs,
+            "pairs": pairs,
+            "scores": scores,
             "dict_scores": dict_scores,
             "self_scores": self_scores,
             "clusters": clusters,

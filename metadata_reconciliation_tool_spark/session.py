@@ -42,9 +42,10 @@ def build_session(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
-        # pandas-UDF batches: large enough to amortize Arrow transfer,
-        # small enough to keep per-batch DP (levenshtein) memory bounded.
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # pandas-UDF batches: large enough to amortize the per-batch Arrow
+        # socket round-trip (small batches showed up as JVM kernel-time
+        # churn in profiling), small enough to keep per-batch memory bounded.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "50000")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
