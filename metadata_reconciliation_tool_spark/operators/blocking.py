@@ -117,33 +117,62 @@ def dictionary_candidates(entities_keyed: DataFrame, dictionary_keyed: DataFrame
 
 
 def self_candidates(
-    entities_keyed: DataFrame, max_block_size: int = 1000
+    entities_keyed: DataFrame,
+    max_block_size: int = 1000,
+    rows_per_salt: int = 256,
+    max_salts: int = 32,
 ) -> tuple[DataFrame, DataFrame]:
     """Entity ↔ entity candidate pairs within shared blocks (feeds J7
     clustering — the reference never compares entity↔entity; the north rule
     mandates it).
 
-    Within each block the pair count is C(n,2) → blocks above
-    ``max_block_size`` are dropped from that pass and reported (the pairs
-    they would contribute are covered by the other passes or were never
-    tractable; the drop is observable in metrics). Skew beyond the cap is
-    handled by AQE skew-join at runtime. Returns
-    (pairs, dropped_blocks_metrics).
+    Skew handling, two tiers:
+    - **salted repartitioning** for hot-but-tractable blocks: a block of n
+      rows gets s = ceil(n / rows_per_salt) salts (≤ max_salts); the left
+      side takes salt = hash(id) % s, the right side is replicated across
+      all s salts, and the join key becomes (pass, key, salt) — each pair
+      is produced exactly once (the left row's salt picks the bucket) while
+      the block's C(n,2) work is split across s shuffle partitions instead
+      of one straggler task. Blocks of ≤ rows_per_salt rows get s = 1
+      (zero replication overhead).
+    - blocks above ``max_block_size`` are dropped from that pass and
+      reported (covered by the other passes or never tractable; the drop
+      is observable in metrics).
+
+    AQE skew-join remains enabled underneath for residual imbalance.
+    Returns (pairs, dropped_blocks_metrics).
     """
     f = _pass_keys(entities_keyed, "entity_key")
     sizes = f.groupBy("block_pass", "block_key").agg(F.count("*").alias("block_n"))
     dropped = sizes.filter(F.col("block_n") > max_block_size).select(
         "block_pass", "block_key", "block_n"
     )
-    fk = f.join(
-        F.broadcast(dropped.select("block_pass", "block_key")),
-        ["block_pass", "block_key"],
-        "left_anti",
+    ok = sizes.filter(F.col("block_n") <= max_block_size).withColumn(
+        "n_salts",
+        F.least(
+            F.ceil(F.col("block_n") / F.lit(rows_per_salt)), F.lit(max_salts)
+        ).cast("int"),
     )
-    left = fk.select("block_pass", "block_key", F.col("id").alias("left_key"))
-    right = fk.select("block_pass", "block_key", F.col("id").alias("right_key"))
+    # inner join against the surviving-block list both applies the cap and
+    # attaches n_salts; the block list is one row per distinct key → broadcast
+    fk = f.join(
+        F.broadcast(ok.select("block_pass", "block_key", "n_salts")),
+        ["block_pass", "block_key"],
+    )
+    left = fk.select(
+        "block_pass",
+        "block_key",
+        F.pmod(F.xxhash64("id"), F.col("n_salts")).cast("int").alias("salt"),
+        F.col("id").alias("left_key"),
+    )
+    right = fk.select(
+        "block_pass",
+        "block_key",
+        F.explode(F.sequence(F.lit(0), F.col("n_salts") - 1)).alias("salt"),
+        F.col("id").alias("right_key"),
+    )
     pairs = (
-        left.join(right, ["block_pass", "block_key"])
+        left.join(right, ["block_pass", "block_key", "salt"])
         .filter(F.col("left_key") < F.col("right_key"))
         .select("left_key", "right_key", "block_pass", "block_key")
     )
@@ -151,20 +180,28 @@ def self_candidates(
 
 
 def dedup_pairs(pairs: DataFrame) -> DataFrame:
-    """J4 first-wins dedup across passes by pass priority — one hash
-    aggregate, deterministic (min over a (priority, pass, key) struct),
-    never an order-dependent dropDuplicates."""
-    prio = F.when(F.col("block_pass") == "prefix", 1).when(
-        F.col("block_pass") == "metaphone", 2
-    ).otherwise(3)
-    return (
-        pairs.withColumn("_prio", prio)
+    """J4 first-wins dedup across passes by pass priority — one aggregate,
+    deterministic, never an order-dependent dropDuplicates.
+
+    The winner is encoded as a single min()-able string
+    '<prio>|<pass>|<key>' instead of min(struct(...)). Both plan as
+    SortAggregate (min over a non-primitive buffer isn't hash-aggregable in
+    Spark), but both keep the map-side partial min — the shuffle carries one
+    pre-reduced row per (pair, map-partition) — and the flat string halves
+    the shuffle payload vs the struct."""
+    prio = F.when(F.col("block_pass") == "prefix", "1").when(
+        F.col("block_pass") == "metaphone", "2"
+    ).otherwise("3")
+    encoded = F.concat_ws("|", prio, F.col("block_pass"), F.col("block_key"))
+    agg = (
+        pairs.withColumn("_w", encoded)
         .groupBy("left_key", "right_key")
-        .agg(F.min(F.struct("_prio", "block_pass", "block_key")).alias("w"))
-        .select(
-            "left_key",
-            "right_key",
-            F.col("w.block_pass").alias("block_pass"),
-            F.col("w.block_key").alias("block_key"),
-        )
+        .agg(F.min("_w").alias("_w"))
+    )
+    parts = F.split(F.col("_w"), r"\|", 3)
+    return agg.select(
+        "left_key",
+        "right_key",
+        parts.getItem(1).alias("block_pass"),
+        parts.getItem(2).alias("block_key"),
     )
