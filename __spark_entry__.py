@@ -701,6 +701,72 @@ def _f14(spark, sf):
     )
 
 
+@_q(
+    "f9_f10_boosts",
+    """
+    SELECT s_suppkey,
+           CAST(round(least(s_suppkey / 10.0, 0.2), 6) AS DOUBLE) AS viaf_boost,
+           CAST(CASE WHEN contains(lower(s_name), 'supplier') THEN 0.1 ELSE 0.0 END AS DOUBLE) AS preferred_boost
+    FROM supplier
+    """,
+)
+def _f9(spark, sf):
+    """F9 VIAF source-count boost min(n/10, 0.2) (data_sources.py:260-292)
+    and F10 Getty preferred-term +0.1 (data_sources.py:388-421)."""
+    from metadata_reconciliation_tool_spark.functions.confidence import (
+        viaf_source_boost,
+    )
+
+    return _t(spark, sf, "supplier").select(
+        "s_suppkey",
+        F.round(viaf_source_boost(F.col("s_suppkey")), 6).alias("viaf_boost"),
+        F.when(F.lower("s_name").contains("supplier"), 0.1)
+        .otherwise(0.0)
+        .cast("double")
+        .alias("preferred_boost"),
+    )
+
+
+@_q(
+    "f11_title_strip",
+    """
+    SELECT c_custkey,
+           array_to_string(list_filter(string_split(lower('Dr. ' || c_name), ' '),
+             x -> NOT list_contains(['mr','mrs','ms','dr','prof','sir','dame'],
+                                    regexp_replace(x, '[^a-z0-9]', '', 'g'))), ' ') AS stripped
+    FROM customer
+    """,
+)
+def _f11(spark, sf):
+    """F11 title-word removal before comparison (data_sources.py:296-305).
+    Titles are matched on the punctuation-stripped token ('dr.' → 'dr')."""
+    toks = F.split(F.lower(F.concat(F.lit("Dr. "), F.col("c_name"))), " ")
+    keep = F.filter(
+        toks,
+        lambda t: ~F.regexp_replace(t, r"[^a-z0-9]", "").isin(
+            "mr", "mrs", "ms", "dr", "prof", "sir", "dame"
+        ),
+    )
+    return _t(spark, sf, "customer").select(
+        "c_custkey", F.array_join(keep, " ").alias("stripped")
+    )
+
+
+@_q(
+    "f18_format_score",
+    """
+    SELECT o_orderkey, printf('%.3f', least(o_totalprice / 400000.0, 1.0)) AS score_fmt
+    FROM orders
+    """,
+)
+def _f18(spark, sf):
+    """F18 %.3f score display formatting (review.html:1053; web.py:453)."""
+    s = F.least(F.col("o_totalprice") / 400000.0, F.lit(1.0))
+    return _t(spark, sf, "orders").select(
+        "o_orderkey", F.format_string("%.3f", s).alias("score_fmt")
+    )
+
+
 @_q("multimodal_frame_sample")
 def _mmf(spark, sf):
     """Video frame-sampling plan (row explosion via sequence/posexplode;

@@ -75,6 +75,36 @@ def stream_events_rollup(
     )
 
 
+def stream_exact_dedup(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    watermark: str = "2 hours",
+) -> "StreamingQuery":  # noqa: F821
+    """Streaming exact-dedup: dropDuplicatesWithinWatermark on the event key
+    — the streaming twin of operators/dedup.exact_dedup. State for a key is
+    held only within the watermark horizon, so state size is bounded by the
+    event rate × watermark window (the property that makes this viable at
+    10^12 events; an unbounded dropDuplicates would OOM the state store)."""
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(source_dir)
+    )
+    deduped = stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    return (
+        deduped.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Gap-based sessionization per user (batch twin of a streaming
     session-window): session starts where the gap from the previous event

@@ -44,6 +44,26 @@ def test_stream_equals_batch(spark, tmp_path):
     assert len(g) >= len(finalized)
 
 
+def test_stream_exact_dedup(spark, tmp_path):
+    import shutil
+
+    from metadata_reconciliation_tool_spark.streaming.events_stream import (
+        stream_exact_dedup,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    # feed the same file twice under different names → every event_id twice
+    shutil.copy(f"{SF}/events.parquet", src / "a.parquet")
+    shutil.copy(f"{SF}/events.parquet", src / "b.parquet")
+    q = stream_exact_dedup(spark, str(src), str(tmp_path / "ck"), str(tmp_path / "out"))
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "out"))
+    n_src = spark.read.parquet(f"{SF}/events.parquet").count()
+    assert out.count() == n_src
+    assert out.select("event_id").distinct().count() == n_src
+
+
 def test_sessionize_gap_semantics(spark):
     from metadata_reconciliation_tool_spark.streaming.events_stream import sessionize
 
