@@ -96,12 +96,10 @@ def entry(spark: SparkSession) -> DataFrame:
     ents = E.distinct_entities(E.extract_entities(transcripts))
     ekeyed = B.add_block_keys(ents)
     dkeyed = B.add_block_keys(dictionary, "norm_label")
+    # blocking carries both sides' names through the pair shuffle → scoring
+    # is join-free
     pairs = B.dictionary_candidates(ekeyed, dkeyed)
-    named = S.attach_names(
-        pairs, ents, dictionary,
-        right_id="auth_id", right_name="norm_label", right_description="description",
-    )
-    scores = S.score_pairs(named)
+    scores = S.score_pairs(pairs)
     best = R.best_match(scores.filter(F.col("score") > 0.5))
     return (
         ents.select("entity_key", "name", "norm_name")

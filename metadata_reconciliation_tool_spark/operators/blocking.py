@@ -10,7 +10,7 @@ equi-joins:
 - pass A  prefix: substring(token_sort(norm_name), 1, 6) — catches case /
           whitespace / punctuation / token-reorder variants exactly.
 - pass B  MinHash-LSH bands over 3-char shingles of the token-sorted name
-          (32 perms × 8 bands × 4 rows) — catches typos / respellings that
+          (32 perms × 16 bands × 2 rows) — catches typos / respellings that
           move the prefix.
 - pass C  phonetic: metaphone of the longest token (surname-ish) — catches
           initials + phonetic respellings.
@@ -74,12 +74,21 @@ def add_block_keys(
     )
 
 
-def _pass_keys(keyed: DataFrame, id_col: str) -> DataFrame:
-    """One (id, block_pass, block_key) frame for all three passes — a
-    single explode instead of three separate branches keeps the downstream
-    work to ONE aggregate and ONE join (per-job fixed costs matter: the
-    pipeline's stage count is the latency floor on small inputs and the
-    scheduler load at 10^12 rows)."""
+def _pass_keys(
+    keyed: DataFrame, id_col: str, payload: dict[str, str] | None = None
+) -> DataFrame:
+    """One (id, block_pass, block_key, *payload) frame for all three passes
+    — a single explode instead of three separate branches keeps the
+    downstream work to ONE aggregate and ONE join (per-job fixed costs
+    matter: the pipeline's stage count is the latency floor on small
+    inputs and the scheduler load at 10^12 rows).
+
+    ``payload`` maps output alias → source column; carrying the normalized
+    names (and the dictionary description) THROUGH the block/pair shuffle
+    removes the two pair-level name-attachment joins the scorer would
+    otherwise need — at 10^12 pairs that is two full shuffles of the pair
+    table traded for slightly wider blocking rows."""
+    payload = payload or {}
     passes = F.array(
         F.struct(F.lit("prefix").alias("block_pass"), F.col("block_prefix").alias("block_key")),
         F.struct(F.lit("metaphone").alias("block_pass"), F.col("block_metaphone").alias("block_key")),
@@ -91,9 +100,10 @@ def _pass_keys(keyed: DataFrame, id_col: str) -> DataFrame:
     return (
         keyed.select(
             F.col(id_col).alias("id"),
+            *[F.col(src_).alias(dst) for dst, src_ in payload.items()],
             F.explode(F.concat(passes, lsh)).alias("p"),
         )
-        .select("id", "p.block_pass", "p.block_key")
+        .select("id", *payload.keys(), "p.block_pass", "p.block_key")
         .filter(F.col("block_key") != "")
     )
 
@@ -106,12 +116,19 @@ def dictionary_candidates(entities_keyed: DataFrame, dictionary_keyed: DataFrame
     side. One join on (block_pass, block_key) covers all three passes.
     Returns (left_key=entity_key, right_key=auth_id, block_pass, block_key).
     """
-    e = _pass_keys(entities_keyed, "entity_key").withColumnRenamed("id", "left_key")
+    e = _pass_keys(
+        entities_keyed, "entity_key", {"left_name": "norm_name"}
+    ).withColumnRenamed("id", "left_key")
     d = F.broadcast(
-        _pass_keys(dictionary_keyed, "auth_id").withColumnRenamed("id", "right_key")
+        _pass_keys(
+            dictionary_keyed,
+            "auth_id",
+            {"right_name": "norm_label", "right_description": "description"},
+        ).withColumnRenamed("id", "right_key")
     )
     joined = e.join(d, ["block_pass", "block_key"]).select(
-        "left_key", "right_key", "block_pass", "block_key"
+        "left_key", "right_key", "block_pass", "block_key",
+        "left_name", "right_name", "right_description",
     )
     return dedup_pairs(joined)
 
@@ -142,7 +159,7 @@ def self_candidates(
     AQE skew-join remains enabled underneath for residual imbalance.
     Returns (pairs, dropped_blocks_metrics).
     """
-    f = _pass_keys(entities_keyed, "entity_key")
+    f = _pass_keys(entities_keyed, "entity_key", {"nm": "norm_name"})
     sizes = f.groupBy("block_pass", "block_key").agg(F.count("*").alias("block_n"))
     dropped = sizes.filter(F.col("block_n") > max_block_size).select(
         "block_pass", "block_key", "block_n"
@@ -164,17 +181,23 @@ def self_candidates(
         "block_key",
         F.pmod(F.xxhash64("id"), F.col("n_salts")).cast("int").alias("salt"),
         F.col("id").alias("left_key"),
+        F.col("nm").alias("left_name"),
     )
     right = fk.select(
         "block_pass",
         "block_key",
         F.explode(F.sequence(F.lit(0), F.col("n_salts") - 1)).alias("salt"),
         F.col("id").alias("right_key"),
+        F.col("nm").alias("right_name"),
     )
     pairs = (
         left.join(right, ["block_pass", "block_key", "salt"])
         .filter(F.col("left_key") < F.col("right_key"))
-        .select("left_key", "right_key", "block_pass", "block_key")
+        .select(
+            "left_key", "right_key", "block_pass", "block_key",
+            "left_name", "right_name",
+            F.lit(None).cast("string").alias("right_description"),
+        )
     )
     return dedup_pairs(pairs), dropped
 
@@ -193,10 +216,17 @@ def dedup_pairs(pairs: DataFrame) -> DataFrame:
         F.col("block_pass") == "metaphone", "2"
     ).otherwise("3")
     encoded = F.concat_ws("|", prio, F.col("block_pass"), F.col("block_key"))
+    payload = [
+        c
+        for c in pairs.columns
+        if c not in {"left_key", "right_key", "block_pass", "block_key"}
+    ]
     agg = (
         pairs.withColumn("_w", encoded)
         .groupBy("left_key", "right_key")
-        .agg(F.min("_w").alias("_w"))
+        # payload columns (names/description) are functionally dependent on
+        # the pair keys — min() just picks the single distinct value
+        .agg(F.min("_w").alias("_w"), *[F.min(c).alias(c) for c in payload])
     )
     parts = F.split(F.col("_w"), r"\|", 3)
     return agg.select(
@@ -204,4 +234,5 @@ def dedup_pairs(pairs: DataFrame) -> DataFrame:
         "right_key",
         parts.getItem(1).alias("block_pass"),
         parts.getItem(2).alias("block_key"),
+        *payload,
     )

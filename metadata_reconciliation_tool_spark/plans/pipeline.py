@@ -123,32 +123,13 @@ class ReconPipeline:
         dictionary: DataFrame,
         pairs: DataFrame,
     ) -> DataFrame:
-        """One scoring pass over all pairs: the right side is the union of
-        the entity table and the (broadcast-sized) dictionary, so one join
-        chain + ONE fused-UDF projection scores everything — bigger Arrow
-        batches, half the stage writes."""
+        """One scoring pass over all pairs. Blocking already carried both
+        sides' normalized names (and the dictionary description) through
+        the pair shuffle, so scoring is a pure projection — zero joins,
+        one fused-UDF Arrow crossing."""
 
         def compute():
-            rhs = distinct.select(
-                F.col("entity_key").alias("rid"),
-                F.col("norm_name").alias("rname"),
-                F.lit(None).cast("string").alias("rdesc"),
-            ).unionByName(
-                dictionary.select(
-                    F.col("auth_id").alias("rid"),
-                    F.col("norm_label").alias("rname"),
-                    F.col("description").alias("rdesc"),
-                )
-            )
-            named = S.attach_names(
-                pairs,
-                distinct,
-                rhs,
-                right_id="rid",
-                right_name="rname",
-                right_description="rdesc",
-            )
-            return S.score_pairs(named, self.cfg.match_threshold)
+            return S.score_pairs(pairs, self.cfg.match_threshold)
 
         return self._run_stage("scoring", compute)
 

@@ -31,9 +31,17 @@ def build_session(
         n = master.removeprefix("local[").removesuffix("]")
         shuffle_partitions = int(n) if n.isdigit() else 2 * cpus
 
+    # Shuffle/spill local dirs: prefer tmpfs when available. On a real
+    # cluster every executor has its own local SSDs; in this sandbox all
+    # local[N] threads share ONE virtio disk, which otherwise becomes the
+    # scaling bottleneck the hardware wouldn't have.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir is None:
+        local_dir = "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else "/tmp"
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
+        .config("spark.local.dir", local_dir)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
