@@ -53,10 +53,23 @@ def simple_score(query: Column, label: Column) -> Column:
 
 
 def wikidata_confidence(
-    search: Column, label: Column, description: Column | None = None
+    search: Column,
+    label: Column,
+    description: Column | None = None,
+    search_tokens: Column | None = None,
+    label_tokens: Column | None = None,
 ) -> Column:
-    """F7 — exact replica of the cultural client's piecewise formula."""
-    ta, tb, overlap, total = _overlap_total(search, label)
+    """F7 — exact replica of the cultural client's piecewise formula.
+
+    ``search_tokens``/``label_tokens``: optionally pass precomputed
+    distinct-token arrays so a caller scoring millions of pairs doesn't
+    re-split/re-dedup the same strings in every sub-expression."""
+    if search_tokens is not None and label_tokens is not None:
+        ta, tb = search_tokens, label_tokens
+        overlap = F.size(F.array_intersect(ta, tb)).cast("double")
+        total = F.size(F.array_union(ta, tb)).cast("double")
+    else:
+        ta, tb, overlap, total = _overlap_total(search, label)
     both = (F.size(ta) > 0) & (F.size(tb) > 0)
     base = (
         F.when(search == label, F.lit(0.95))

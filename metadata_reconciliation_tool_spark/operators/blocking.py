@@ -117,18 +117,25 @@ def dictionary_candidates(entities_keyed: DataFrame, dictionary_keyed: DataFrame
     Returns (left_key=entity_key, right_key=auth_id, block_pass, block_key).
     """
     e = _pass_keys(
-        entities_keyed, "entity_key", {"left_name": "norm_name"}
+        entities_keyed,
+        "entity_key",
+        {"left_name": "norm_name", "left_sorted": "_token_sorted"},
     ).withColumnRenamed("id", "left_key")
     d = F.broadcast(
         _pass_keys(
             dictionary_keyed,
             "auth_id",
-            {"right_name": "norm_label", "right_description": "description"},
+            {
+                "right_name": "norm_label",
+                "right_description": "description",
+                "right_sorted": "_token_sorted",
+            },
         ).withColumnRenamed("id", "right_key")
     )
     joined = e.join(d, ["block_pass", "block_key"]).select(
         "left_key", "right_key", "block_pass", "block_key",
         "left_name", "right_name", "right_description",
+        "left_sorted", "right_sorted",
     )
     return dedup_pairs(joined)
 
@@ -159,7 +166,9 @@ def self_candidates(
     AQE skew-join remains enabled underneath for residual imbalance.
     Returns (pairs, dropped_blocks_metrics).
     """
-    f = _pass_keys(entities_keyed, "entity_key", {"nm": "norm_name"})
+    f = _pass_keys(
+        entities_keyed, "entity_key", {"nm": "norm_name", "srt": "_token_sorted"}
+    )
     sizes = f.groupBy("block_pass", "block_key").agg(F.count("*").alias("block_n"))
     dropped = sizes.filter(F.col("block_n") > max_block_size).select(
         "block_pass", "block_key", "block_n"
@@ -182,6 +191,7 @@ def self_candidates(
         F.pmod(F.xxhash64("id"), F.col("n_salts")).cast("int").alias("salt"),
         F.col("id").alias("left_key"),
         F.col("nm").alias("left_name"),
+        F.col("srt").alias("left_sorted"),
     )
     right = fk.select(
         "block_pass",
@@ -189,6 +199,7 @@ def self_candidates(
         F.explode(F.sequence(F.lit(0), F.col("n_salts") - 1)).alias("salt"),
         F.col("id").alias("right_key"),
         F.col("nm").alias("right_name"),
+        F.col("srt").alias("right_sorted"),
     )
     pairs = (
         left.join(right, ["block_pass", "block_key", "salt"])
@@ -197,6 +208,7 @@ def self_candidates(
             "left_key", "right_key", "block_pass", "block_key",
             "left_name", "right_name",
             F.lit(None).cast("string").alias("right_description"),
+            "left_sorted", "right_sorted",
         )
     )
     return dedup_pairs(pairs), dropped

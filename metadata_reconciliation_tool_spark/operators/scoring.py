@@ -21,7 +21,7 @@ from ..functions.confidence import (
     confidence_band_5,
     wikidata_confidence,
 )
-from ..functions.normalize import distinct_tokens, token_sort
+from ..functions.normalize import token_sort
 from ..functions.similarity import batteries_udf
 
 DEFAULT_MATCH_THRESHOLD = 0.70
@@ -60,9 +60,30 @@ def score_pairs(
     named_pairs: DataFrame, threshold: float = DEFAULT_MATCH_THRESHOLD
 ) -> DataFrame:
     """named_pairs(left_key,right_key,block_pass,block_key,left_name,
-    right_name,right_description) → SCORES schema + is_match."""
-    ls, rs = token_sort(F.col("left_name")), token_sort(F.col("right_name"))
-    lt, rt = distinct_tokens(F.col("left_name")), distinct_tokens(F.col("right_name"))
+    right_name,right_description[,left_sorted,right_sorted]) → SCORES
+    schema + is_match.
+
+    JVM-side economics at 10^12 pairs: token splitting/sorting and the
+    distinct-token arrays are computed ONCE per pair into temp columns and
+    reused by every formula — profiling showed the JVM expression work
+    (regex splits + array set-ops repeated per formula) costing as much CPU
+    as the Python batteries. Blocking can pass the token-sorted forms
+    through the pair table (left_sorted/right_sorted) to skip even that."""
+    if "left_sorted" in named_pairs.columns:
+        named_pairs = named_pairs.withColumnRenamed(
+            "left_sorted", "_ls"
+        ).withColumnRenamed("right_sorted", "_rs")
+    else:
+        named_pairs = named_pairs.withColumn(
+            "_ls", token_sort(F.col("left_name"))
+        ).withColumn("_rs", token_sort(F.col("right_name")))
+    # distinct-token arrays from the already-sorted forms: split on single
+    # space (no regex), already deduped-adjacent — array_distinct still
+    # needed for repeated tokens but no second regex pass
+    named_pairs = named_pairs.withColumn(
+        "_lt", F.array_distinct(F.array_remove(F.split(F.col("_ls"), " "), ""))
+    ).withColumn("_rt", F.array_distinct(F.array_remove(F.split(F.col("_rs"), " "), "")))
+    lt, rt = F.col("_lt"), F.col("_rt")
     jaccard = F.when(
         (F.size(lt) > 0) & (F.size(rt) > 0),
         F.size(F.array_intersect(lt, rt)).cast("double")
@@ -73,8 +94,7 @@ def score_pairs(
     # token-sorted forms — whole-stage codegen); the python batteries are
     # fused into one struct-returning pandas UDF (one Arrow crossing).
     scored = (
-        named_pairs.withColumn("_ls", ls)
-        .withColumn("_rs", rs)
+        named_pairs
         .withColumn("_b", batteries_udf(F.col("_ls"), F.col("_rs")))
         .withColumn("jaro_winkler", F.col("_b.jaro_winkler"))
         .withColumn("name_align", F.col("_b.name_align"))
@@ -90,7 +110,11 @@ def score_pairs(
         .withColumn(
             "wikidata_confidence",
             wikidata_confidence(
-                F.col("left_name"), F.col("right_name"), F.col("right_description")
+                F.col("left_name"),
+                F.col("right_name"),
+                F.col("right_description"),
+                search_tokens=F.col("_lt"),
+                label_tokens=F.col("_rt"),
             ),
         )
         .withColumn(

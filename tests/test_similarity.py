@@ -72,6 +72,30 @@ def test_surname_key_initials_robust():
     assert surname_key_py("anna marie") == surname_key_py("a marie")
 
 
+def test_initials_subset_u4(spark):
+    """U4 names_are_similar with initials extension
+    (data_sources.py:294-310): title-stripped token subset, single-letter
+    tokens match on first letter."""
+    import pyspark.sql.functions as F2
+
+    from metadata_reconciliation_tool_spark.functions.similarity import (
+        initials_subset_udf,
+    )
+
+    cases = [
+        ("dr john smith", "john smith", True),       # title stripped
+        ("j smith", "john smith", True),             # initial match
+        ("john smith", "john q smith", True),        # subset
+        ("q smith", "john smith", False),            # incompatible initial
+        ("jane smith", "john smith", False),
+        ("", "john smith", False),
+    ]
+    df = spark.createDataFrame(cases, "a string, b string, want boolean")
+    rows = df.select("want", initials_subset_udf(F2.col("a"), F2.col("b")).alias("got")).collect()
+    for r in rows:
+        assert r.got == r.want
+
+
 def test_lsh_and_surname_udf_twin_parity(spark):
     names = ["william shakespeare", "shakespear william", "mount lockwood", ""]
     df = spark.createDataFrame([(n,) for n in names], ["n"])
