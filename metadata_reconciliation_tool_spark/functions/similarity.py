@@ -360,31 +360,44 @@ def name_align_py(a: str, b: str) -> float:
     if not ta or not tb:
         return 0.0
     small, big = (ta, tb) if len(ta) <= len(tb) else (tb, ta)
-    used: set[int] = set()
-    aligned: list[float] = []
-    for t in small:
-        best, best_i = 0.0, -1
-        for i, u in enumerate(big):
-            if i in used:
-                continue
-            if t == u:
-                s = 1.0
-            elif len(t) == 1 or len(u) == 1:
-                # single-letter tokens: initial compatibility or nothing —
-                # JW on 1-char strings degenerates ('a' fuzzy-matches inside
-                # 'shakespeare' via the Jaro window)
-                s = 0.95 if (u.startswith(t) or t.startswith(u)) else 0.0
-            else:
-                s = jaro_winkler_py(t, u)
-            if s > best:
-                best, best_i = s, i
-        aligned.append(best)
-        if best_i >= 0:
-            used.add(best_i)
+
+    def pair_score(t: str, u: str) -> float:
+        if t == u:
+            return 1.0
+        if len(t) == 1 or len(u) == 1:
+            # single-letter tokens: initial compatibility or nothing — JW on
+            # 1-char strings degenerates ('a' fuzzy-matches inside
+            # 'shakespeare' via the Jaro window)
+            return 0.95 if (u.startswith(t) or t.startswith(u)) else 0.0
+        return jaro_winkler_py(t, u)
+
+    # best-pair-first assignment (not left-to-right greedy): after token
+    # sorting, a left-to-right pass binds an initial 'f' to the surname
+    # 'fornoran' before 'fornoran'='fornoran' gets the exact match —
+    # assigning strongest pairs first makes the alignment order-independent
+    cand = sorted(
+        ((pair_score(t, u), si, bi) for si, t in enumerate(small) for bi, u in enumerate(big)),
+        key=lambda x: (-x[0], x[1], x[2]),
+    )
+    assigned: dict[int, float] = {}
+    used_big: set[int] = set()
+    for s, si, bi in cand:
+        if si in assigned or bi in used_big:
+            continue
+        assigned[si] = s
+        used_big.add(bi)
+        if len(assigned) == len(small):
+            break
+    aligned = [assigned.get(i, 0.0) for i in range(len(small))]
     mean = sum(aligned) / len(aligned)
     weakest = min(aligned)
+    # weakest-link penalty, piecewise: compatible tokens (exact / initial /
+    # near-typo, ≥0.9) are barely penalized; anything weaker — two genuinely
+    # different tokens sharing syllables, the signature of same-surname
+    # siblings — is punished quadratically
+    factor = 0.5 + 0.5 * weakest if weakest >= 0.9 else 0.9 * weakest * weakest
     extra = len(big) - len(small)
-    return mean * (0.5 + 0.5 * weakest) * max(0.0, 1.0 - 0.1 * extra)
+    return mean * factor * max(0.0, 1.0 - 0.1 * extra)
 
 
 @F.pandas_udf(T.DoubleType())
