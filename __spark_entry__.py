@@ -1150,6 +1150,35 @@ def _recon(spark, sf):
     return entry(spark)
 
 
+@_q("dedup_document_clusters")
+def _ddc(spark, sf):
+    """Document near-dup CLUSTERS: MinHash-LSH pairs → the same
+    large-star/small-star connected components used for entity clustering
+    (J7 machinery reused on documents) → cluster id + size per doc.
+    Iterative CC is not SQL-expressible → rows-only check; the CC operator
+    itself is oracle-tested in pytest against a union-find oracle."""
+    from metadata_reconciliation_tool_spark.operators.clustering import (
+        assign_clusters,
+        connected_components,
+    )
+    from metadata_reconciliation_tool_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf, "documents")
+    pairs = minhash_lsh_pairs(docs, jaccard_threshold=0.8)
+    edges = pairs.select(
+        F.col("left_id").cast("string").alias("left_key"),
+        F.col("right_id").cast("string").alias("right_key"),
+    )
+    comps = connected_components(edges)
+    assigned = assign_clusters(
+        docs.select(F.col("doc_id").cast("string").alias("entity_key")), comps
+    )
+    sizes = assigned.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return assigned.join(sizes, "cluster_id").select(
+        F.col("entity_key").alias("doc_id"), "cluster_id", "cluster_size"
+    )
+
+
 @_q("multimodal_features")
 def _mm(spark, sf):
     """Binary-column feature extraction via mapInPandas (decode stubbed —
