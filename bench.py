@@ -30,7 +30,7 @@ SF_SIZES = {
     # sf → (n_entities, n_convs); turns = n_convs * 16, mention every 3rd turn
     "0.001": (40, 160),
     "0.01": (200, 2000),
-    "0.1": (2000, 20000),
+    "0.1": (4000, 40000),  # 640k turns → ~5.7M scored pairs
 }
 
 HEADLINE = [

@@ -185,7 +185,10 @@ class ReconPipeline:
             # A4–A8 analogues: one aggregate → metrics table
             agg = best.agg(
                 F.count("*").alias("n"),
-                F.sum(F.when(F.col("right_key").isNotNull(), 1).otherwise(0)).alias("m"),
+                F.coalesce(
+                    F.sum(F.when(F.col("right_key").isNotNull(), 1).otherwise(0)),
+                    F.lit(0),
+                ).alias("m"),
             ).collect()[0]
             self._metric("best", "successful_matches", float(agg["m"]))
             self._metric("best", "match_rate", agg["m"] / max(agg["n"], 1))
