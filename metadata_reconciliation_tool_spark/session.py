@@ -50,6 +50,10 @@ def build_session(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark-warehouse"),
+        )
         # pandas-UDF batches: large enough to amortize the per-batch Arrow
         # socket round-trip (small batches showed up as JVM kernel-time
         # churn in profiling), small enough to keep per-batch memory bounded.
