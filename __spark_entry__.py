@@ -1195,11 +1195,11 @@ def _mm(spark, sf):
 
 @_q(
     "dedup_simhash",
-    None,  # assembled below — programmatically generated 16-bit SQL twin
+    None,  # assembled below — programmatically generated 64-bit SQL twin
 )
 def _dsh(spark, sf):
-    """16-bit SimHash near-dup pairs, half-block candidate generation,
-    Hamming ≤ 2 verify."""
+    """64-bit SimHash near-dup pairs, 4×16-bit quarter-block candidate
+    generation (pigeonhole-exact for Hamming ≤ 3), Hamming ≤ 3 verify."""
     from metadata_reconciliation_tool_spark.operators.dedup import simhash_dedup_pairs
 
     return simhash_dedup_pairs(_t(spark, sf, "documents")).select(
@@ -1208,36 +1208,50 @@ def _dsh(spark, sf):
 
 
 def _simhash_oracle_sql() -> str:
-    """Generate the DuckDB twin of simhash_bitstring + half-block pairing."""
-    high = "('8','9','a','b','c','d','e','f')"
+    """Generate the DuckDB twin of the 64-bit simhash_bitstring +
+    quarter-block pairing. Bit j of the simhash tests bit (8>>((j-1)%4)) of
+    hex nibble (j-1)//4+1 of md5(token) via an 8-char IN-list — identical to
+    the Spark Column expression. Empty tokens are filtered (x <> '') to
+    match ws_tokens' array_remove parity on empty/whitespace-only text."""
+    from metadata_reconciliation_tool_spark.functions.textstats import (
+        NIBBLE_BIT_CHARS,
+        SIMHASH_BIT_LAYOUT,
+        SIMHASH_BITS,
+    )
+
+    def inlist(bitval: int) -> str:
+        return "(" + ",".join(f"'{c}'" for c in NIBBLE_BIT_CHARS[bitval]) + ")"
+
     bit_terms = " || ".join(
-        f"(CASE WHEN len(h) > 0 AND 2 * len(list_filter(h, x -> substring(x, {i}, 1) IN {high})) >= len(h) "
+        f"(CASE WHEN len(h) > 0 AND 2 * len(list_filter(h, x -> substring(x, {pos}, 1) IN {inlist(bitval)})) >= len(h) "
         f"THEN '1' ELSE '0' END)"
-        for i in range(1, 17)
+        for pos, bitval in SIMHASH_BIT_LAYOUT
     )
     ham_terms = " + ".join(
-        f"(CASE WHEN substring(a.sh, {i}, 1) <> substring(b.sh, {i}, 1) THEN 1 ELSE 0 END)"
-        for i in range(1, 17)
+        f"(CASE WHEN substring(lsh, {i}, 1) <> substring(rsh, {i}, 1) THEN 1 ELSE 0 END)"
+        for i in range(1, SIMHASH_BITS + 1)
+    )
+    quarters = "\n      UNION ALL\n".join(
+        f"      SELECT doc_id, sh, '{part}:' || substring(sh, {part * 16 + 1}, 16) AS bk FROM s"
+        for part in range(4)
     )
     return f"""
     WITH t AS (
-      SELECT doc_id, list_transform(regexp_split_to_array(trim(lower(text)), '\\s+'),
-                                    x -> md5(x)) AS h
+      SELECT doc_id, list_transform(
+               list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> ''),
+               x -> md5(x)) AS h
       FROM documents
     ), s AS (
       SELECT doc_id, {bit_terms} AS sh FROM t
-    ), halves AS (
-      SELECT doc_id, sh, '0:' || substring(sh, 1, 8) AS bk FROM s
-      UNION ALL
-      SELECT doc_id, sh, '1:' || substring(sh, 9, 8) AS bk FROM s
+    ), quarters AS (
+{quarters}
     ), cand AS (
       SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id, a.sh AS lsh, b.sh AS rsh
-      FROM halves a JOIN halves b ON a.bk = b.bk AND a.doc_id < b.doc_id
+      FROM quarters a JOIN quarters b ON a.bk = b.bk AND a.doc_id < b.doc_id
     )
     SELECT left_id, right_id, CAST(ham AS INT) AS hamming FROM (
-      SELECT left_id, right_id, lsh AS sh, rsh, ({ham_terms.replace('a.sh', 'lsh').replace('b.sh', 'rsh')}) AS ham
-      FROM (SELECT left_id, right_id, lsh, rsh FROM cand) AS x(left_id, right_id, lsh, rsh)
-    ) WHERE ham <= 2
+      SELECT left_id, right_id, ({ham_terms}) AS ham FROM cand
+    ) WHERE ham <= 3
     """
 
 

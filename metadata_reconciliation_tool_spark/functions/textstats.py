@@ -9,6 +9,8 @@ dominate.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -118,34 +120,105 @@ def minhash_key(text: Column, seed: int) -> Column:
     return F.array_min(hashed)
 
 
-SIMHASH_BITS = 16
-_HIGH_NIBBLES = ["8", "9", "a", "b", "c", "d", "e", "f"]
+SIMHASH_BITS = 64
+# For each bit b (value 8/4/2/1) of a hex nibble, the 8 hex chars that have
+# that bit set. Testing "bit b of nibble" = membership in an 8-char set —
+# pure Column expr in Spark AND a literal IN-list in the DuckDB twin.
+NIBBLE_BIT_CHARS: dict[int, list[str]] = {
+    8: ["8", "9", "a", "b", "c", "d", "e", "f"],
+    4: ["4", "5", "6", "7", "c", "d", "e", "f"],
+    2: ["2", "3", "6", "7", "a", "b", "e", "f"],
+    1: ["1", "3", "5", "7", "9", "b", "d", "f"],
+}
+# bit j (1-based, MSB-first) of the 64-bit simhash lives in hex nibble
+# position (j-1)//4 + 1, at nibble-bit value 8 >> ((j-1) % 4).
+SIMHASH_BIT_LAYOUT = [
+    ((j - 1) // 4 + 1, 8 >> ((j - 1) % 4)) for j in range(1, SIMHASH_BITS + 1)
+]
 
 
 def simhash_bitstring(text: Column) -> Column:
-    """16-bit SimHash as a bitstring column ('0110…').
+    """64-bit SimHash as a bitstring column ('0110…', 64 chars).
 
-    Bit i = sign of Σ_tokens (±1), where a token votes +1 iff the i-th hex
-    nibble of md5(token) has its high bit set. Pure Column exprs (and an
-    exact SQL twin) — per-token md5 via transform, per-bit vote via
-    filter/size.
+    Bit j = sign of Σ_tokens (±1), where a token votes +1 iff bit j of the
+    first 64 bits (16 hex nibbles, MSB-first) of md5(token) is set. Pure
+    Column exprs (and an exact SQL twin) — per-token md5 via transform,
+    per-bit vote via filter/size on an 8-char nibble set.
+
+    64 bits (vs round-1's 16) give a key universe that supports 4×16-bit
+    pigeonhole blocking at corpus scale — 4 × 65,536 buckets instead of 512.
     """
     toks = ws_tokens(F.lower(text))
     hashes = F.transform(toks, lambda t: F.md5(t))
     n = F.size(hashes)
 
-    def _high_bit_at(i: int):
-        return lambda h: F.substring(h, i, 1).isin(*_HIGH_NIBBLES)
+    def _bit_at(pos: int, bitval: int):
+        chars = NIBBLE_BIT_CHARS[bitval]
+        return lambda h: F.substring(h, pos, 1).isin(*chars)
 
     bits = []
-    for i in range(1, SIMHASH_BITS + 1):
-        ones = F.size(F.filter(hashes, _high_bit_at(i)))
+    for pos, bitval in SIMHASH_BIT_LAYOUT:
+        ones = F.size(F.filter(hashes, _bit_at(pos, bitval)))
         # +1 votes = ones, -1 votes = n - ones → sign positive iff 2*ones >= n
         bits.append(F.when((n > 0) & (2 * ones >= n), F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*bits)
 
 
-def hamming_bitstring(a: Column, b: Column) -> Column:
-    """Hamming distance between two equal-length bitstrings."""
-    pairs = F.arrays_zip(F.split(a, "(?!^)"), F.split(b, "(?!^)"))
-    return F.size(F.filter(pairs, lambda p: p["0"] != p["1"]))
+def simhash_bitstring_udf(text: Column) -> Column:
+    """Arrow-vectorized twin of simhash_bitstring — bit-identical output.
+
+    The pure-Column formulation is the readable/SQL-twinnable spec, but its
+    64 filter+isin sub-expressions fall out of whole-stage codegen and cost
+    ~24 ms/doc interpreted; this numpy path (one hashlib.md5 per token +
+    unpackbits vote accumulation) is ~100× cheaper per doc and is what the
+    dedup operator executes. Parity is pinned by
+    test_dedup_ann.test_simhash_udf_column_parity.
+
+    Parity notes: md5 of UTF-8 bytes on both sides; ASCII \\s+ tokenization
+    (Java regex \\s is ASCII-only); leading/trailing-whitespace differences
+    between Java trim and Python strip wash out because empty tokens are
+    removed; null/empty text → all-zero bitstring on both sides."""
+    import hashlib
+    import re
+
+    ws_re = re.compile(r"\s+", re.ASCII)
+    zero = "0" * SIMHASH_BITS
+
+    @F.pandas_udf("string")
+    def _simhash64(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(zero)
+                continue
+            toks = [x for x in ws_re.split(t.strip().lower()) if x]
+            n = len(toks)
+            if n == 0:
+                out.append(zero)
+                continue
+            acc = np.zeros(SIMHASH_BITS, dtype=np.int64)
+            for tok in toks:
+                d = hashlib.md5(tok.encode("utf-8")).digest()[: SIMHASH_BITS // 8]
+                acc += np.unpackbits(np.frombuffer(d, dtype=np.uint8))
+            # +1 votes = acc, -1 votes = n - acc → bit set iff 2*acc >= n
+            bits = 2 * acc >= n
+            out.append("".join("1" if b else "0" for b in bits))
+        return pd.Series(out)
+
+    return _simhash64(text)
+
+
+def hamming_bitstring(a: Column, b: Column, n_bits: int = SIMHASH_BITS) -> Column:
+    """Hamming distance between two equal-length bitstrings of n_bits chars.
+
+    Computed as bit_count(xor) over 32-bit chunks parsed with conv(_, 2, 10)
+    — pure JVM integer ops (a regex character-split + array zip was ~10×
+    slower per pair and dominated the candidate-verify stage)."""
+    total = None
+    for start in range(1, n_bits + 1, 32):
+        ln = min(32, n_bits - start + 1)
+        ca = F.conv(F.substring(a, start, ln), 2, 10).cast("long")
+        cb = F.conv(F.substring(b, start, ln), 2, 10).cast("long")
+        term = F.bit_count(ca.bitwiseXOR(cb))
+        total = term if total is None else total + term
+    return total

@@ -17,10 +17,34 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Raise input parallelism before an expensive per-row projection:
+    local test parquet arrives as one file = one partition, which would
+    serialize the hashing work; on a real cluster (input already split
+    across many files) the condition is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def _materialize_keyed(keyed: DataFrame) -> DataFrame:
+    """Persist a key-projection DataFrame before it fans out into multiple
+    consumers (explode branches, both sides of a self-join).
+
+    Without a materialization boundary Catalyst's CollapseProject inlines
+    the (expensive) key expression into every reference — the 64-bit simhash
+    was being recomputed ~10× per doc — and a lazy persist still gets
+    computed once per join side when both sides' stages launch concurrently.
+    Eager localCheckpoint computes the projection exactly once and truncates
+    lineage; the keyed projection is small (id + hash key / token set), so
+    this is safe at any corpus size."""
+    return keyed.localCheckpoint(eager=True)
+
 from ..functions.textstats import (
     doc_fingerprint,
     minhash_key,
-    simhash_bitstring,
     ws_tokens,
 )
 
@@ -86,28 +110,50 @@ def minhash_lsh_pairs(
 
 def simhash_dedup_pairs(
     docs: DataFrame,
-    max_hamming: int = 2,
+    max_hamming: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """SimHash near-dup pairs: 16-bit simhash, block on the two 8-bit
-    halves (any pair within Hamming ≤ 2 of a 16-bit code shares at least
-    one identical half — pigeonhole), verify Hamming ≤ max_hamming.
+    """SimHash near-dup pairs: 64-bit simhash, block on the four 16-bit
+    quarters. Pigeonhole: a pair within Hamming ≤ 3 of a 64-bit code has at
+    most 3 differing bits spread over 4 disjoint quarters, so at least one
+    quarter is identical — candidate generation is EXACT for max_hamming ≤ 3
+    (raises otherwise rather than silently losing recall; round-1's 2-block
+    scheme over-promised Hamming ≤ 2). Verify Hamming ≤ max_hamming within
+    buckets only.
+
+    Scale: 4 × 65,536 buckets — bucket population stays ~N/2¹⁶ per quarter,
+    so within-bucket candidate generation stays near-linear in corpus size
+    (vs round-1's 512-bucket O(N²/512)).
 
     Returns (left_id, right_id, hamming)."""
     from ..functions.textstats import hamming_bitstring
 
-    keyed = docs.select(
-        F.col(id_col).alias("id"), simhash_bitstring(F.col(text_col)).alias("sh")
-    )
-    halves = None
-    for part, (start, ln) in enumerate([(1, 8), (9, 8)]):
-        h = keyed.select(
-            "id", "sh", F.concat(F.lit(f"{part}:"), F.substring("sh", start, ln)).alias("bk")
+    if max_hamming > 3:
+        raise ValueError(
+            "4-quarter blocking is exact only for max_hamming <= 3; "
+            "use more blocks (max_hamming+1) for larger radii"
         )
-        halves = h if halves is None else halves.unionByName(h)
-    l = halves.select("bk", F.col("id").alias("left_id"), F.col("sh").alias("lsh"))
-    r = halves.select("bk", F.col("id").alias("right_id"), F.col("sh").alias("rsh"))
+    # execution path is the vectorized UDF twin (bit-identical to the
+    # Column-expression spec, ~100× cheaper per doc — see textstats)
+    from ..functions.textstats import simhash_bitstring_udf
+
+    keyed = _materialize_keyed(
+        _ensure_parallelism(docs).select(
+            F.col(id_col).alias("id"), simhash_bitstring_udf(F.col(text_col)).alias("sh")
+        )
+    )
+    # one row per (doc, quarter) via explode — the hash is computed once per
+    # doc (materialized above), not once per union branch as in round 1
+    quarter_keys = F.array(
+        *[
+            F.concat(F.lit(f"{part}:"), F.substring("sh", part * 16 + 1, 16))
+            for part in range(4)
+        ]
+    )
+    q = keyed.select("id", "sh", F.explode(quarter_keys).alias("bk"))
+    l = q.select("bk", F.col("id").alias("left_id"), F.col("sh").alias("lsh"))
+    r = q.select("bk", F.col("id").alias("right_id"), F.col("sh").alias("rsh"))
     cand = (
         l.join(r, "bk")
         .filter(F.col("left_id") < F.col("right_id"))

@@ -54,7 +54,61 @@ def test_simhash_hamming_bounds(docs):
     rows = simhash_dedup_pairs(docs).collect()
     got = {(r.left_id, r.right_id): r.hamming for r in rows}
     assert got.get((0, 1)) == 0  # identical text → identical simhash
-    assert all(h <= 2 for h in got.values())
+    assert all(h <= 3 for h in got.values())
+
+
+def test_simhash_candidate_generation_exact(docs):
+    """4×16-bit quarter blocking must find EVERY pair with Hamming ≤ 3
+    (pigeonhole) — compare against brute-force all-pairs on the fixture."""
+    from metadata_reconciliation_tool_spark.functions.textstats import (
+        hamming_bitstring,
+        simhash_bitstring,
+    )
+    from metadata_reconciliation_tool_spark.operators.dedup import simhash_dedup_pairs
+
+    keyed = docs.select("doc_id", simhash_bitstring(F.col("text")).alias("sh"))
+    l = keyed.select(F.col("doc_id").alias("left_id"), F.col("sh").alias("lsh"))
+    r = keyed.select(F.col("doc_id").alias("right_id"), F.col("sh").alias("rsh"))
+    brute = (
+        l.crossJoin(r)
+        .filter(F.col("left_id") < F.col("right_id"))
+        .withColumn("hamming", hamming_bitstring(F.col("lsh"), F.col("rsh")))
+        .filter(F.col("hamming") <= 3)
+    )
+    expect = {(x.left_id, x.right_id, x.hamming) for x in brute.collect()}
+    got = {(x.left_id, x.right_id, x.hamming) for x in simhash_dedup_pairs(docs).collect()}
+    assert got == expect
+
+
+def test_simhash_udf_column_parity(spark, docs):
+    """The vectorized UDF execution path must be bit-identical to the
+    Column-expression spec (which the DuckDB oracle mirrors) — including
+    null/empty/whitespace-only text edge cases."""
+    from metadata_reconciliation_tool_spark.functions.textstats import (
+        simhash_bitstring,
+        simhash_bitstring_udf,
+    )
+
+    edge = spark.createDataFrame(
+        [(100, None), (101, ""), (102, "   \t \n "), (103, "  padded  text ")],
+        ["doc_id", "text"],
+    )
+    sf_docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    for df in (docs.select("doc_id", "text"), edge, sf_docs):
+        cmp = df.select(
+            simhash_bitstring(F.col("text")).alias("a"),
+            simhash_bitstring_udf(F.col("text")).alias("b"),
+        )
+        assert cmp.filter("a <> b OR a IS NULL OR b IS NULL").count() == 0
+
+
+def test_simhash_max_hamming_guard(docs):
+    import pytest as _pytest
+
+    from metadata_reconciliation_tool_spark.operators.dedup import simhash_dedup_pairs
+
+    with _pytest.raises(ValueError):
+        simhash_dedup_pairs(docs, max_hamming=4)
 
 
 def test_ngram_jaccard_scores(docs):
