@@ -902,24 +902,39 @@ def _dmh(spark, sf):
     "dedup_ngram_jaccard",
     """
     WITH toks AS (
-      SELECT doc_id, lang, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+      SELECT doc_id, lang,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '') AS t
       FROM documents
     ), sh AS (
       SELECT doc_id,
-        lang || ':' || CAST(CAST(floor(len(t) / 20.0) AS BIGINT) AS VARCHAR) AS bk,
+        lang || ':' || CAST(CAST(floor(len(t) / 20.0) AS BIGINT) AS VARCHAR) AS base,
         list_distinct(list_transform(generate_series(1, greatest(len(t) - 2, 1)),
           i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS s
       FROM toks
+    ), banded AS (
+      SELECT doc_id, s,
+        list_min(list_transform(s, x -> md5('0:' || x))) AS b0,
+        list_min(list_transform(s, x -> md5('1:' || x))) AS b1,
+        base
+      FROM sh
+    ), bands AS (
+      SELECT doc_id, s, '0:' || base || ':' || b0 AS bk FROM banded
+      UNION ALL
+      SELECT doc_id, s, '1:' || base || ':' || b1 FROM banded
+    ), ok AS (
+      SELECT * FROM bands
+      WHERE bk NOT IN (SELECT bk FROM bands GROUP BY bk HAVING count(*) > 1000)
     )
-    SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+    SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id,
            CAST(round(len(list_intersect(a.s, b.s)) * 1.0 /
                       len(list_distinct(a.s || b.s)), 6) AS DOUBLE) AS ngram_jaccard
-    FROM sh a JOIN sh b ON a.bk = b.bk AND a.doc_id < b.doc_id
+    FROM ok a JOIN ok b ON a.bk = b.bk AND a.doc_id < b.doc_id
     WHERE len(list_intersect(a.s, b.s)) * 1.0 / len(list_distinct(a.s || b.s)) >= 0.5
     """,
 )
 def _dng(spark, sf):
-    """Word-3-gram Jaccard near-dup pairs within lang+length blocks."""
+    """Word-3-gram Jaccard near-dup pairs within lang+length+min-shingle-band
+    blocks, oversized blocks dropped (drop-and-report at max_block_size)."""
     from metadata_reconciliation_tool_spark.operators.dedup import ngram_jaccard_pairs
 
     out = ngram_jaccard_pairs(_t(spark, sf, "documents"))
@@ -1094,19 +1109,71 @@ def _ann(spark, sf):
     )
 
 
-@_q("ann_srp_lsh_topk")
+@_q(
+    "ann_srp_lsh_topk",
+    None,  # assembled below — hyperplane literals emitted into generated SQL
+)
 def _annl(spark, sf):
-    """SRP-LSH bucketed ANN (scale path) — seeded hyperplane literals are
-    not SQL-portable, so this is a rows-only check; recall vs the
-    brute-force baseline is asserted in pytest."""
+    """SRP-LSH bucketed ANN (scale path). Planes pinned to 8 here so the
+    SQL twin (seeded hyperplane coefficients emitted as DuckDB list
+    literals) is static; production default derives n_planes from the
+    corpus size (similarity_search.derive_n_planes). Recall vs the
+    brute-force baseline is additionally asserted in pytest."""
     from metadata_reconciliation_tool_spark.operators.similarity_search import (
         srp_lsh_topk,
     )
 
     emb = _t(spark, sf, "embeddings")
-    return srp_lsh_topk(emb.filter(F.col("vec_id") < 10), emb, k=5).select(
+    return srp_lsh_topk(emb.filter(F.col("vec_id") < 10), emb, k=5, n_planes=8).select(
         "query_id", "neighbor_id", "rank"
     )
+
+
+def _srp_oracle_sql(dim: int = 64, n_planes: int = 8, n_tables: int = 4, k: int = 5) -> str:
+    """Generate the DuckDB twin of srp_lsh_topk: the seeded hyperplanes are
+    emitted as constant DOUBLE list literals (repr() round-trips float64
+    exactly), bucket bit = sign of list_dot_product against each plane, one
+    bucket CTE per table, union of bucket joins, distinct pairs, exact
+    cosine re-rank on round(cos, 6) with neighbor-id tie-break — mirroring
+    the Spark operator term for term."""
+    from metadata_reconciliation_tool_spark.operators.similarity_search import _srp_planes
+
+    table_ctes, cand_selects = [], []
+    for t in range(n_tables):
+        planes = _srp_planes(dim, n_planes, t)
+        bits = " || ".join(
+            "(CASE WHEN list_dot_product(v, ["
+            + ",".join(repr(float(x)) for x in row)
+            + "]) >= 0 THEN '1' ELSE '0' END)"
+            for row in planes
+        )
+        table_ctes.append(
+            f"b{t} AS (SELECT vec_id, v, '{t}:' || {bits} AS bk FROM e)"
+        )
+        cand_selects.append(
+            f"SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.v AS qv, c.v AS cv\n"
+            f"       FROM b{t} q JOIN b{t} c ON q.bk = c.bk AND q.vec_id < 10"
+        )
+    cands = "\n      UNION ALL\n      ".join(cand_selects)
+    ctes = ",\n    ".join(table_ctes)
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    {ctes},
+    cand AS (
+      SELECT DISTINCT query_id, neighbor_id, qv, cv FROM (
+      {cands}
+      ) WHERE query_id <> neighbor_id
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY round(list_cosine_similarity(qv, cv), 6) DESC, neighbor_id) AS rank
+      FROM cand)
+    WHERE rank <= {k}
+    """
+
+
+_ORACLES["ann_srp_lsh_topk"] = _srp_oracle_sql()
 
 
 @_q(

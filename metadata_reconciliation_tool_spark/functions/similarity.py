@@ -248,9 +248,12 @@ _MERSENNE = (1 << 61) - 1
 
 
 def _minhash_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    # a, b < 2^32 so a*x + b (x = crc32 < 2^32) fits uint64 exactly — no
+    # wrap-around before the Mersenne mod, keeping the (a*x+b) mod p family
+    # genuinely universal (a wrap would silently weaken MinHash uniformity)
     rng = np.random.RandomState(seed)
-    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
-    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+    a = rng.randint(1, 1 << 32, size=num_perm, dtype=np.int64).astype(np.uint64)
+    b = rng.randint(0, 1 << 32, size=num_perm, dtype=np.int64).astype(np.uint64)
     return a, b
 
 

@@ -76,15 +76,19 @@ def minhash_lsh_pairs(
     Band keys are single md5-min values (shingle = word), so both the Spark
     plan and the SQL oracle compute identical buckets. Returns
     (left_id, right_id, jaccard)."""
-    keyed = docs.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(ws_tokens(F.lower(F.col(text_col)))).alias("toks"),
-        *[minhash_key(F.col(text_col), s).alias(f"mh{s}") for s in range(n_bands)],
+    keyed = _materialize_keyed(
+        _ensure_parallelism(docs).select(
+            F.col(id_col).alias("id"),
+            F.array_distinct(ws_tokens(F.lower(F.col(text_col)))).alias("toks"),
+            *[minhash_key(F.col(text_col), s).alias(f"mh{s}") for s in range(n_bands)],
+        )
     )
-    bands = None
-    for s in range(n_bands):
-        b = keyed.select("id", F.concat(F.lit(f"{s}:"), F.col(f"mh{s}")).alias("band_key"))
-        bands = b if bands is None else bands.unionByName(b)
+    # one row per (doc, band) via explode — band hashes computed once per doc
+    # (materialized above), not once per union branch
+    band_keys = F.array(
+        *[F.concat(F.lit(f"{s}:"), F.col(f"mh{s}")) for s in range(n_bands)]
+    )
+    bands = keyed.select("id", F.explode(band_keys).alias("band_key"))
     l = bands.select("band_key", F.col("id").alias("left_id"))
     r = bands.select("band_key", F.col("id").alias("right_id"))
     cand = (
@@ -174,10 +178,27 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     block_cols: list[str] | None = None,
-) -> DataFrame:
-    """Word n-gram (shingle) Jaccard near-dup pairs within cheap blocks
-    (default: same lang + same token-count bucket). Returns
-    (left_id, right_id, ngram_jaccard)."""
+    n_bands: int = 2,
+    max_block_size: int = 1000,
+    return_dropped: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
+    """Word n-gram (shingle) Jaccard near-dup pairs within content-derived
+    blocks. Returns (left_id, right_id, ngram_jaccard), plus a dropped-block
+    metrics frame when ``return_dropped``.
+
+    Block key = lang (or ``block_cols``) + token-count/20 bucket + a
+    min-md5-shingle band (``n_bands`` seeded bands, LSH-style). Round 1's
+    lang+length-only key put every common-length same-language doc in a
+    handful of unbounded blocks — all-pairs within block, quadratic at
+    corpus scale. The shingle band makes block population content-dependent
+    (collision probability ≈ shingle-Jaccard per band; recall across bands
+    = 1-(1-J)^n_bands), and any residual pathological block (e.g. a megadup
+    cluster of identical boilerplate) is dropped at ``max_block_size`` and
+    reported — same drop-and-report contract as blocking.self_candidates.
+
+    Scale note: the cap is applied as a broadcast LEFT ANTI join against the
+    *dropped* key list, which is small by construction (only oversized
+    blocks) — never a broadcast of all surviving keys."""
     toks = ws_tokens(F.lower(F.col(text_col)))
     shingles = F.array_distinct(
         F.transform(
@@ -186,18 +207,35 @@ def ngram_jaccard_pairs(
         )
     )
     block = block_cols if block_cols is not None else ["lang"]
-    keyed = docs.select(
-        F.col(id_col).alias("id"),
-        shingles.alias("sh"),
-        F.concat_ws(
-            ":",
-            *[F.col(c) for c in block],
-            F.floor(F.size(toks) / F.lit(20.0)).cast("long").cast("string"),
-        ).alias("bk"),
+    base_key = F.concat_ws(
+        ":",
+        *[F.col(c) for c in block],
+        F.floor(F.size(toks) / F.lit(20.0)).cast("long").cast("string"),
     )
-    l = keyed.select("bk", F.col("id").alias("left_id"), F.col("sh").alias("lsh"))
-    r = keyed.select("bk", F.col("id").alias("right_id"), F.col("sh").alias("rsh"))
-    return (
+    band_mins = [
+        F.array_min(
+            F.transform(shingles, _seeded_md5_factory(s))
+        ).alias(f"band{s}")
+        for s in range(n_bands)
+    ]
+    keyed = _materialize_keyed(
+        _ensure_parallelism(docs).select(
+            F.col(id_col).alias("id"), shingles.alias("sh"), base_key.alias("base"), *band_mins
+        )
+    )
+    band_keys = F.array(
+        *[
+            F.concat_ws(":", F.lit(str(s)), F.col("base"), F.col(f"band{s}"))
+            for s in range(n_bands)
+        ]
+    )
+    exploded = keyed.select("id", "sh", F.explode(band_keys).alias("bk"))
+    sizes = exploded.groupBy("bk").agg(F.count("*").alias("block_n"))
+    dropped = sizes.filter(F.col("block_n") > max_block_size)
+    ok = exploded.join(F.broadcast(dropped.select("bk")), "bk", "left_anti")
+    l = ok.select("bk", F.col("id").alias("left_id"), F.col("sh").alias("lsh"))
+    r = ok.select("bk", F.col("id").alias("right_id"), F.col("sh").alias("rsh"))
+    pairs = (
         l.join(r, "bk")
         .filter(F.col("left_id") < F.col("right_id"))
         .withColumn(
@@ -206,8 +244,20 @@ def ngram_jaccard_pairs(
             / F.size(F.array_union("lsh", "rsh")),
         )
         .filter(F.col("ngram_jaccard") >= threshold)
+        # a pair found by both bands scores identically in each — dedup on
+        # the scalar output (never distinct over the shingle arrays)
         .select("left_id", "right_id", "ngram_jaccard")
+        .distinct()
     )
+    if return_dropped:
+        return pairs, dropped
+    return pairs
+
+
+def _seeded_md5_factory(seed: int):
+    # single-arg lambda factory (a default-arg closure would bind a second
+    # higher-order-function lambda variable — see normalize/textstats note)
+    return lambda t: F.md5(F.concat(F.lit(f"{seed}:"), t))
 
 
 def embedding_dup_pairs(
@@ -225,11 +275,13 @@ def embedding_dup_pairs(
     def norm(c):
         return F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x))
 
-    keyed = embeddings.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        F.col(block_col).alias("bk"),
-        norm(F.col(vec_col)).alias("nrm"),
+    keyed = _materialize_keyed(
+        _ensure_parallelism(embeddings).select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            F.col(block_col).alias("bk"),
+            norm(F.col(vec_col)).alias("nrm"),
+        )
     )
     l = keyed.select("bk", F.col("id").alias("left_id"), F.col("v").alias("lv"), F.col("nrm").alias("ln"))
     r = keyed.select("bk", F.col("id").alias("right_id"), F.col("v").alias("rv"), F.col("nrm").alias("rn"))

@@ -83,21 +83,41 @@ def srp_bucket(vec: Column, planes: np.ndarray) -> Column:
     return F.concat(*bits)
 
 
+def derive_n_planes(n_corpus: int, target_bucket_size: int = 256) -> int:
+    """Plane count scaled to the corpus: 2^planes buckets ≈ n / target.
+
+    A fixed plane count is a scale bug — 8 planes = 256 buckets forever, so
+    at 10^9 vectors each bucket holds ~4M vectors and the within-bucket
+    re-rank explodes. log₂ scaling keeps expected bucket population near
+    ``target_bucket_size`` at any corpus size (floor of 8 planes)."""
+    import math
+
+    ratio = max(n_corpus, 1) / max(target_bucket_size, 1)
+    return max(8, math.ceil(math.log2(ratio))) if ratio > 1 else 8
+
+
 def srp_lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,
     k: int = 5,
     dim: int = 64,
-    n_planes: int = 8,
+    n_planes: int | None = None,
     n_tables: int = 4,
     q_id: str = "vec_id",
     q_vec: str = "embedding",
     c_id: str = "vec_id",
     c_vec: str = "embedding",
+    target_bucket_size: int = 256,
 ) -> DataFrame:
     """ANN top-k: union of n_tables SRP bucket joins, exact cosine re-rank
     within candidates. Recall grows with n_tables (multi-probe); each table
-    is an equi-join on an 8-bit bucket key — shuffle on the key only."""
+    is an equi-join on the bucket key — shuffle on the key only.
+
+    ``n_planes=None`` (default) derives the plane count from the corpus size
+    via :func:`derive_n_planes` (one count() on the corpus — O(1) result);
+    pass an explicit value to pin the bucket universe (tests, SQL twins)."""
+    if n_planes is None:
+        n_planes = derive_n_planes(corpus.count(), target_bucket_size)
     q = queries.select(F.col(q_id).alias("query_id"), F.col(q_vec).alias("qv"))
     c = corpus.select(F.col(c_id).alias("neighbor_id"), F.col(c_vec).alias("cv"))
     cand = None

@@ -165,6 +165,36 @@ def test_srp_lsh_recall_vs_brute_force(spark):
     assert recall >= 0.5, f"SRP-LSH recall {recall}"
 
 
+def test_srp_planes_scale_with_corpus():
+    from metadata_reconciliation_tool_spark.operators.similarity_search import (
+        derive_n_planes,
+    )
+
+    assert derive_n_planes(500) == 8            # small corpus → floor
+    assert derive_n_planes(256 * 2**8) == 8     # exactly at the floor
+    assert derive_n_planes(10**9) == 22         # 2^22 buckets ≈ 4M → ~256/bucket
+    assert derive_n_planes(10**12) == 32
+    assert derive_n_planes(0) == 8              # degenerate corpus
+
+
+def test_ngram_jaccard_drops_oversized_blocks(spark):
+    """A pathological megadup block (identical boilerplate) must be dropped
+    at max_block_size and reported — never fed to the all-pairs join."""
+    from metadata_reconciliation_tool_spark.operators.dedup import ngram_jaccard_pairs
+
+    boiler = [(i, "exact same boilerplate text repeated in every document here", "en", "s")
+              for i in range(50)]
+    normal = [(100, "a unique document about spark adaptive execution", "en", "s"),
+              (101, "a unique document about spark adaptive execution", "en", "s")]
+    docs = spark.createDataFrame(boiler + normal, ["doc_id", "text", "lang", "source"])
+    pairs, dropped = ngram_jaccard_pairs(docs, max_block_size=10, return_dropped=True)
+    got = {(r.left_id, r.right_id) for r in pairs.collect()}
+    drop_rows = dropped.collect()
+    assert (100, 101) in got                      # small block still compared
+    assert not any(l < 50 and r < 50 for l, r in got)  # megadup block dropped
+    assert len(drop_rows) >= 1 and all(r.block_n == 50 for r in drop_rows)
+
+
 def test_multimodal_plumbing(spark):
     from metadata_reconciliation_tool_spark.operators.multimodal import (
         FEATURE_DIM,
