@@ -214,6 +214,92 @@ def self_candidates(
     return dedup_pairs(pairs), dropped
 
 
+def asymmetric_candidates(
+    new_keyed: DataFrame,
+    all_keyed: DataFrame,
+    max_block_size: int = 1000,
+    rows_per_salt: int = 256,
+    max_salts: int = 32,
+) -> tuple[DataFrame, DataFrame]:
+    """Candidate pairs touching the NEW side only: new↔old and new↔new,
+    never old↔old — the incremental-ingest shape (ADVICE r01: building
+    candidates over old∪new materialized every old↔old within-block pair
+    before discarding it, making per-batch cost grow with the corpus).
+
+    Cost scales with the batch: the corpus side is first semi-joined (via a
+    broadcast of the batch's block keys — small by construction) down to
+    blocks the batch actually touches; sizing, salting, and pair generation
+    all happen inside those blocks only. The only corpus-wide work is that
+    one broadcast-probe scan of corpus block keys.
+
+    Salting is inverted vs :func:`self_candidates`: the corpus side of a hot
+    block is SPLIT across s salts (salt = hash(id) % s) and the small batch
+    side is REPLICATED to all s — each (new, all) pair meets exactly once,
+    in the corpus row's salt bucket. Oversized blocks are dropped and
+    reported, same contract as self_candidates.
+
+    Returns (pairs, dropped_blocks_metrics); pairs are canonicalized
+    (left_key < right_key) and first-wins deduped across passes."""
+    f_new = _pass_keys(
+        new_keyed, "entity_key", {"nm": "norm_name", "srt": "_token_sorted"}
+    )
+    f_all = _pass_keys(
+        all_keyed, "entity_key", {"nm": "norm_name", "srt": "_token_sorted"}
+    )
+    new_blocks = f_new.select("block_pass", "block_key").distinct()
+    touched = f_all.join(F.broadcast(new_blocks), ["block_pass", "block_key"])
+    sizes = touched.groupBy("block_pass", "block_key").agg(F.count("*").alias("block_n"))
+    dropped = sizes.filter(F.col("block_n") > max_block_size).select(
+        "block_pass", "block_key", "block_n"
+    )
+    ok = sizes.filter(F.col("block_n") <= max_block_size).withColumn(
+        "n_salts",
+        F.least(
+            F.ceil(F.col("block_n") / F.lit(rows_per_salt)), F.lit(max_salts)
+        ).cast("int"),
+    )
+    salted_all = touched.join(
+        F.broadcast(ok.select("block_pass", "block_key", "n_salts")),
+        ["block_pass", "block_key"],
+    ).select(
+        "block_pass",
+        "block_key",
+        F.pmod(F.xxhash64("id"), F.col("n_salts")).cast("int").alias("salt"),
+        F.col("id").alias("a_key"),
+        F.col("nm").alias("a_name"),
+        F.col("srt").alias("a_sorted"),
+    )
+    replicated_new = f_new.join(
+        F.broadcast(ok.select("block_pass", "block_key", "n_salts")),
+        ["block_pass", "block_key"],
+    ).select(
+        "block_pass",
+        "block_key",
+        F.explode(F.sequence(F.lit(0), F.col("n_salts") - 1)).alias("salt"),
+        F.col("id").alias("n_key"),
+        F.col("nm").alias("n_name"),
+        F.col("srt").alias("n_sorted"),
+    )
+    joined = replicated_new.join(
+        salted_all, ["block_pass", "block_key", "salt"]
+    ).filter(F.col("n_key") != F.col("a_key"))
+    # canonicalize (left < right), swapping payloads with the keys; a
+    # new↔new pair produced from both orientations collapses in dedup_pairs
+    flip = F.col("n_key") > F.col("a_key")
+    pairs = joined.select(
+        F.when(flip, F.col("a_key")).otherwise(F.col("n_key")).alias("left_key"),
+        F.when(flip, F.col("n_key")).otherwise(F.col("a_key")).alias("right_key"),
+        "block_pass",
+        "block_key",
+        F.when(flip, F.col("a_name")).otherwise(F.col("n_name")).alias("left_name"),
+        F.when(flip, F.col("n_name")).otherwise(F.col("a_name")).alias("right_name"),
+        F.lit(None).cast("string").alias("right_description"),
+        F.when(flip, F.col("a_sorted")).otherwise(F.col("n_sorted")).alias("left_sorted"),
+        F.when(flip, F.col("n_sorted")).otherwise(F.col("a_sorted")).alias("right_sorted"),
+    )
+    return dedup_pairs(pairs), dropped
+
+
 def dedup_pairs(pairs: DataFrame) -> DataFrame:
     """J4 first-wins dedup across passes by pass priority — one aggregate,
     deterministic, never an order-dependent dropDuplicates.

@@ -8,20 +8,23 @@ NEW batch against the existing checkpointed state:
    distinct-entities table → only genuinely unseen entity keys proceed
    (the md5 key makes "seen" exact);
 2. block the new entities against (a) the broadcast dictionary and (b) the
-   UNION of old + new entities — new↔old and new↔new pairs only, never
-   old↔old (those pairs are already in the scoring table);
+   corpus via :func:`blocking.asymmetric_candidates` — new↔old and new↔new
+   pairs only; old↔old pairs are never *materialized* (the corpus side is
+   semi-joined down to blocks the batch touches before any pair is built,
+   so per-batch cost scales with the batch, not the corpus);
 3. score only the new pairs (same fused-UDF scorer);
-4. append to the stage tables; re-run connected components over old+new
-   match edges (CC itself is cheap relative to scoring — edges are the
-   sparse output, and the star-contraction rounds converge in O(log d)).
+4. append to state ATOMICALLY: each batch writes its rows under
+   ``batches/<batch_id>/{entities_distinct,scoring}`` and only then drops a
+   ``_COMMITTED`` marker. Readers union the bootstrap stage with committed
+   batches only — a crash mid-batch leaves an uncommitted directory that
+   the rerun simply overwrites, never a half-applied batch whose keys are
+   "seen" but whose scores are lost;
+5. re-run connected components over old+new match edges (CC itself is cheap
+   relative to scoring — edges are the sparse output, and the
+   star-contraction rounds converge in O(log d)).
 
-Costs scale with the batch, not the corpus: the only corpus-wide work is
-the block-key equi-join of new keys against old keys (shuffle of the
-*keys*, not the pairs) and the CC over match edges.
-
-Determinism: appends are keyed by entity_key/pair keys; re-running the same
-batch id is idempotent (the batch's stage dirs checkpoint exactly like the
-full pipeline's).
+Determinism: a rerun of the same batch_id is idempotent (recomputes from
+committed state only, overwrites its own uncommitted leftovers).
 """
 
 from __future__ import annotations
@@ -37,6 +40,8 @@ from ..operators import extract as E
 from ..operators import scoring as S
 from ..sources import writers as W
 
+COMMIT_MARKER = "_COMMITTED"
+
 
 class IncrementalRecon:
     def __init__(self, spark: SparkSession, work_dir: str, job_id: str,
@@ -50,12 +55,43 @@ class IncrementalRecon:
     def _stage(self, name: str) -> str:
         return os.path.join(self.base, f"stage_{name}")
 
-    def ingest_batch(self, transcripts_batch: DataFrame, dictionary: DataFrame) -> dict:
+    def _batch_dir(self, batch_id: str) -> str:
+        return os.path.join(self.base, "batches", batch_id)
+
+    def committed_batches(self) -> list[str]:
+        root = os.path.join(self.base, "batches")
+        if not os.path.isdir(root):
+            return []
+        return sorted(
+            b for b in os.listdir(root)
+            if os.path.exists(os.path.join(root, b, COMMIT_MARKER))
+        )
+
+    def _read_state(self, name: str) -> DataFrame:
+        """Bootstrap stage ∪ committed batch appends (uncommitted partial
+        batch directories are invisible — the atomicity contract)."""
+        paths = [self._stage(name)] + [
+            os.path.join(self._batch_dir(b), name) for b in self.committed_batches()
+        ]
+        return self.spark.read.parquet(*paths)
+
+    def ingest_batch(
+        self,
+        transcripts_batch: DataFrame,
+        dictionary: DataFrame,
+        batch_id: str | None = None,
+    ) -> dict:
         """Reconcile one new batch against existing state; returns the new
-        rows added per stage plus the refreshed cluster assignment."""
+        rows added per stage plus the refreshed cluster assignment.
+
+        ``batch_id`` defaults to ``b<n_committed>`` — a crashed (uncommitted)
+        ingest reuses the same id on rerun and overwrites its leftovers."""
         spark = self.spark
-        old_distinct = spark.read.parquet(self._stage("entities_distinct"))
-        old_scores = spark.read.parquet(self._stage("scoring"))
+        if batch_id is None:
+            batch_id = f"b{len(self.committed_batches())}"
+        bdir = self._batch_dir(batch_id)
+
+        old_distinct = self._read_state("entities_distinct")
 
         batch_entities = E.extract_entities(transcripts_batch)
         batch_distinct = E.distinct_entities(batch_entities)
@@ -69,36 +105,33 @@ class IncrementalRecon:
         dict_pairs = B.dictionary_candidates(nkeyed, dkeyed).withColumn(
             "pair_kind", F.lit("dict")
         )
-        # new ↔ (old ∪ new): union the keyed frames, then keep only pairs
-        # touching a new key — old↔old pairs already exist in the scoring
-        # table and must not be recomputed
+        # new ↔ (old ∪ new), old↔old never materialized
         all_keyed = B.add_block_keys(old_distinct).unionByName(nkeyed)
-        self_pairs, _dropped = B.self_candidates(all_keyed, self.max_block_size)
-        new_keys = new_distinct.select(F.col("entity_key").alias("k"))
-        touching_new = self_pairs.join(
-            F.broadcast(new_keys), self_pairs["left_key"] == F.col("k"), "left_semi"
-        ).unionByName(
-            self_pairs.join(
-                F.broadcast(new_keys), self_pairs["right_key"] == F.col("k"), "left_semi"
-            )
-        ).dropDuplicates(["left_key", "right_key"])
+        touching_new, _dropped = B.asymmetric_candidates(
+            nkeyed, all_keyed, self.max_block_size
+        )
         new_pairs = dict_pairs.unionByName(
             touching_new.withColumn("pair_kind", F.lit("self"))
         )
         new_scores = S.score_pairs(new_pairs, self.match_threshold)
 
-        # append to state (idempotence per batch comes from the caller using
-        # one batch-scoped sub-dir per delivery in production; here append)
-        new_distinct.write.mode("append").parquet(self._stage("entities_distinct"))
-        new_scores.write.mode("append").parquet(self._stage("scoring"))
+        # atomic append: batch sub-dirs first (overwrite = crash-rerun safe),
+        # commit marker only after both writes succeed
+        new_distinct.write.mode("overwrite").parquet(
+            os.path.join(bdir, "entities_distinct")
+        )
+        new_scores.write.mode("overwrite").parquet(os.path.join(bdir, "scoring"))
+        with open(os.path.join(bdir, COMMIT_MARKER), "w") as fh:
+            fh.write("")
 
-        # refresh clusters over ALL match edges (old + new)
-        all_scores = spark.read.parquet(self._stage("scoring"))
+        # refresh clusters over ALL match edges (old + new) — derived state,
+        # rebuilt after commit (safe to lose: recomputable from the log)
+        all_scores = self._read_state("scoring")
         edges = all_scores.filter(
             (F.col("pair_kind") == "self") & F.col("is_match")
         ).select("left_key", "right_key")
         comps = C.connected_components(edges)
-        all_distinct = spark.read.parquet(self._stage("entities_distinct"))
+        all_distinct = self._read_state("entities_distinct")
         clusters = C.assign_clusters(all_distinct, comps)
         W.write_stage(clusters, self._stage("clusters"))
 

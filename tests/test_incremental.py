@@ -39,3 +39,53 @@ def test_incremental_equals_full_run(spark, bundle, tmp_path):
         r.entity_key: r.cluster_id for r in full["clusters"].collect()
     }
     assert inc_clusters == full_clusters
+
+    # asymmetry contract: every scored self pair touches a NEW key —
+    # old↔old pairs are never (re)scored by an ingest
+    new_keys = {r.entity_key for r in out["new_entities"].collect()}
+    self_rows = out["new_scores"].filter(F.col("pair_kind") == "self").collect()
+    assert len(self_rows) > 0
+    assert all(r.left_key in new_keys or r.right_key in new_keys for r in self_rows)
+
+
+def test_incremental_crash_recovery_reingests_partial_batch(spark, bundle, tmp_path):
+    """A crash between the two state writes must leave the batch invisible
+    (uncommitted) so the rerun re-ingests it — round 1 appended
+    entities_distinct first, permanently losing the batch's scores."""
+    import shutil
+
+    from metadata_reconciliation_tool_spark.plans.incremental import IncrementalRecon
+    from metadata_reconciliation_tool_spark.plans.pipeline import (
+        ReconConfig,
+        ReconPipeline,
+    )
+
+    t = bundle["transcripts"]
+    batch1 = t.filter(F.crc32(F.col("conv_id")) % 2 == 0)
+    batch2 = t.filter(F.crc32(F.col("conv_id")) % 2 == 1)
+
+    work = str(tmp_path / "inc")
+    cfg = ReconConfig(job_id="j", work_dir=work, force=True, collect_metrics=False)
+    ReconPipeline(spark, cfg).run(batch1, bundle["dictionary"])
+
+    inc = IncrementalRecon(spark, work, "j")
+    out = inc.ingest_batch(batch2, bundle["dictionary"])
+    clean_clusters = {r.entity_key: r.cluster_id for r in out["clusters"].collect()}
+    assert inc.committed_batches() == ["b0"]
+
+    # simulate the crash: entities_distinct written, scoring + marker lost
+    bdir = f"{work}/j/batches/b0"
+    shutil.rmtree(f"{bdir}/scoring")
+    import os
+
+    from metadata_reconciliation_tool_spark.plans.incremental import COMMIT_MARKER
+
+    os.remove(f"{bdir}/{COMMIT_MARKER}")
+    assert inc.committed_batches() == []  # partial batch is invisible
+
+    # rerun: same auto batch_id (b0), overwrites leftovers, commits
+    out2 = IncrementalRecon(spark, work, "j").ingest_batch(batch2, bundle["dictionary"])
+    assert IncrementalRecon(spark, work, "j").committed_batches() == ["b0"]
+    got = {r.entity_key: r.cluster_id for r in out2["clusters"].collect()}
+    assert got == clean_clusters
+    assert out2["new_scores"].count() > 0  # scores re-ingested, not lost
