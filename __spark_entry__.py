@@ -942,6 +942,118 @@ def _dng(spark, sf):
 
 
 @_q(
+    "multisource_best_match",
+    """
+    WITH sup AS (
+      SELECT s_suppkey AS k, lower(trim(s_name)) AS nm,
+             CASE WHEN s_suppkey % 3 = 0 THEN 'authority record' END AS dsc
+      FROM supplier
+    ), dic0 AS (
+      SELECT 'Q' || CAST(k AS VARCHAR) AS auth_id, nm AS base_nm, nm || ' co' AS norm_label,
+             dsc AS description, 'wikidata' AS source,
+             CAST(NULL AS INT) AS n_sources, CAST(NULL AS VARCHAR) AS term_type FROM sup
+      UNION ALL
+      SELECT 'V' || CAST(k AS VARCHAR), nm, nm || ' co', NULL, 'viaf',
+             CAST(k % 10 + 1 AS INT), NULL FROM sup
+      UNION ALL
+      SELECT 'W' || CAST(k AS VARCHAR), nm, nm || ' co', NULL, 'viaf',
+             CAST(k % 10 + 1 AS INT), NULL FROM sup
+      UNION ALL
+      SELECT 'G' || CAST(k AS VARCHAR), nm, nm || ' co', NULL, 'getty', NULL,
+             CASE WHEN k % 2 = 0 THEN 'preferred' ELSE 'alternate' END FROM sup
+    ), dic AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY norm_label, source ORDER BY auth_id) AS rn
+        FROM dic0) WHERE rn = 1
+    ), scored AS (
+      SELECT s.k, d.auth_id, d.source,
+        (CASE WHEN s.nm = d.norm_label THEN 0.95
+              WHEN starts_with(d.norm_label, s.nm) THEN
+                   CASE WHEN d.description IS NOT NULL THEN 0.85 ELSE 0.75 END
+              WHEN contains(d.norm_label, s.nm) THEN
+                   CASE WHEN d.description IS NOT NULL THEN 0.70 ELSE 0.60 END
+              ELSE 0.3 END)
+        + (CASE WHEN d.source = 'viaf' THEN least(coalesce(d.n_sources, 0) / 10.0, 0.2)
+                WHEN d.source = 'getty' AND contains(lower(coalesce(d.term_type, '')), 'preferred')
+                     THEN 0.1
+                ELSE 0.0 END) AS score
+      FROM sup s JOIN dic d ON d.base_nm = s.nm
+    )
+    SELECT k AS s_suppkey, auth_id AS best_auth, source AS best_source,
+           CAST(round(score, 6) AS DOUBLE) AS best_score
+    FROM (SELECT *, row_number() OVER (PARTITION BY k
+            ORDER BY round(score, 6) DESC, source, auth_id) AS rnk FROM scored)
+    WHERE rnk = 1
+    """,
+)
+def _msbm(spark, sf):
+    """Multi-source best match: Wikidata ∪ VIAF ∪ Getty dictionary built
+    from supplier names (VIAF carries a deliberate duplicate (name, source)
+    row that A3 dedup must drop), F8 prefix-tier base + F9/F10 source
+    boosts, best row per entity with (score desc, source, auth_id)
+    tie-break — union semantics of reconciliation_engine.py:388-437 using
+    the package's prepare_dictionary / prefix_tier_score / source_boost."""
+    from metadata_reconciliation_tool_spark.functions.confidence import (
+        prefix_tier_score,
+        source_boost,
+    )
+    from metadata_reconciliation_tool_spark.operators.extract import prepare_dictionary
+
+    sup = _t(spark, sf, "supplier").select(
+        F.col("s_suppkey").cast("long").alias("k"),
+        F.lower(F.trim(F.col("s_name"))).alias("nm"),
+        F.when(F.col("s_suppkey") % 3 == 0, "authority record").alias("dsc"),
+    )
+
+    def src(prefix, source, n_sources, term_type, desc):
+        return sup.select(
+            F.concat(F.lit(prefix), F.col("k").cast("string")).alias("auth_id"),
+            F.col("nm").alias("base_nm"),
+            F.concat(F.col("nm"), F.lit(" co")).alias("norm_label"),
+            desc.alias("description"),
+            F.lit(source).alias("source"),
+            n_sources.cast("int").alias("n_sources"),
+            term_type.cast("string").alias("term_type"),
+        )
+
+    null_i, null_s = F.lit(None).cast("int"), F.lit(None).cast("string")
+    dic0 = (
+        src("Q", "wikidata", null_i, null_s, F.col("dsc"))
+        .unionByName(src("V", "viaf", F.col("k") % 10 + 1, null_s, null_s))
+        .unionByName(src("W", "viaf", F.col("k") % 10 + 1, null_s, null_s))
+        .unionByName(
+            src("G", "getty", null_i,
+                F.when(F.col("k") % 2 == 0, "preferred").otherwise("alternate"),
+                null_s)
+        )
+    )
+    dic = prepare_dictionary(dic0)
+    pairs = sup.join(dic, dic["base_nm"] == sup["nm"])
+    scored = pairs.withColumn(
+        "score",
+        prefix_tier_score(
+            F.col("nm"), F.col("norm_label"), F.col("description").isNotNull()
+        )
+        + source_boost(F.col("source"), F.col("n_sources"), F.col("term_type")),
+    )
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("k").orderBy(
+        F.desc(F.round("score", 6)), F.asc("source"), F.asc("auth_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select(
+            F.col("k").alias("s_suppkey"),
+            F.col("auth_id").alias("best_auth"),
+            F.col("source").alias("best_source"),
+            F.round("score", 6).cast("double").alias("best_score"),
+        )
+    )
+
+
+@_q(
     "dedup_embedding_cosine",
     """
     WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)

@@ -385,6 +385,51 @@ def gen_dictionary(spark: SparkSession, pool: list[PoolEntity]) -> DataFrame:
     return spark.createDataFrame(pd.DataFrame(rows), schema=DICTIONARY)
 
 
+def gen_multisource_dictionary(spark: SparkSession, pool: list[PoolEntity]) -> DataFrame:
+    """Wikidata ∪ VIAF ∪ Getty dictionary (reconciliation_engine.py:388-399):
+    every entity has a Wikidata row; every even entity_id also a VIAF row
+    (with a source count for the F9 boost) plus a DUPLICATE VIAF row with a
+    higher auth_id (exercises the per-(norm_label, source) A3 dedup — only
+    the min-auth_id row may reach blocking); every third a Getty row whose
+    term_type alternates preferred/alternate (F10 boost)."""
+    rows = []
+    for e in pool:
+        norm = normalize_name_py(e.canonical)
+        base = {
+            "label": e.canonical,
+            "norm_label": norm,
+            "description": e.description,
+            "entity_type": e.entity_type,
+            "aliases": [e.canonical.upper()],
+            "external_ids": {"viaf": f"viaf{e.entity_id}"},
+        }
+        rows.append(
+            {**base, "auth_id": f"Q{e.entity_id + 1000}", "source": "wikidata",
+             "n_sources": None, "term_type": None}
+        )
+        if e.entity_id % 2 == 0:
+            n = (e.entity_id % 10) + 1
+            rows.append(
+                {**base, "auth_id": f"V{e.entity_id + 1000}", "source": "viaf",
+                 "n_sources": n, "term_type": None}
+            )
+            rows.append(  # duplicate (norm_label, source) — must be A3-deduped
+                {**base, "auth_id": f"W{e.entity_id + 1000}", "source": "viaf",
+                 "n_sources": n, "term_type": None}
+            )
+        if e.entity_id % 3 == 0:
+            rows.append(
+                {**base, "auth_id": f"G{e.entity_id + 1000}", "source": "getty",
+                 "n_sources": None,
+                 "term_type": "preferred" if e.entity_id % 2 == 0 else "alternate"}
+            )
+    from .schemas import DICTIONARY_MULTISOURCE
+
+    # createDataFrame(pandas, schema) matches columns by POSITION — order them
+    cols = [f.name for f in DICTIONARY_MULTISOURCE.fields]
+    return spark.createDataFrame(pd.DataFrame(rows)[cols], schema=DICTIONARY_MULTISOURCE)
+
+
 def gen_transcripts(
     spark: SparkSession,
     variants: list[Variant],

@@ -112,6 +112,27 @@ def viaf_source_boost(n_sources: Column) -> Column:
     return F.least(n_sources.cast("double") / 10.0, F.lit(0.2))
 
 
+def source_boost(source: Column, n_sources: Column, term_type: Column) -> Column:
+    """Per-source score boost, keyed by the dictionary row's source:
+
+    - viaf  → F9 min(n_sources/10, 0.2)   (data_sources.py:260-292)
+    - getty → F10 +0.1 when the term type contains 'preferred'
+              (data_sources.py:388-421: ``0.1 if 'preferred' in
+              result_type.lower() else 0.0``)
+    - wikidata / unknown → 0.0 (its description boost lives inside F7)
+
+    Null-safe: missing n_sources/term_type boost nothing."""
+    viaf = viaf_source_boost(F.coalesce(n_sources.cast("double"), F.lit(0.0)))
+    getty = F.when(
+        F.lower(F.coalesce(term_type, F.lit(""))).contains("preferred"), F.lit(0.1)
+    ).otherwise(F.lit(0.0))
+    return (
+        F.when(source == "viaf", viaf)
+        .when(source == "getty", getty)
+        .otherwise(F.lit(0.0))
+    )
+
+
 def confidence_band_3(score: Column) -> Column:
     """F12: ≥0.8 high / ≥0.6 medium / low."""
     return (

@@ -121,21 +121,29 @@ def dictionary_candidates(entities_keyed: DataFrame, dictionary_keyed: DataFrame
         "entity_key",
         {"left_name": "norm_name", "left_sorted": "_token_sorted"},
     ).withColumnRenamed("id", "left_key")
+    # multi-source dictionaries (Wikidata ∪ VIAF ∪ Getty) carry their source
+    # metadata through the pair shuffle so scoring can apply F9/F10 boosts
+    # without a pair-level re-join (reconciliation_engine.py:388-437)
+    right_payload = {
+        "right_name": "norm_label",
+        "right_description": "description",
+        "right_sorted": "_token_sorted",
+    }
+    source_cols = [
+        c for c in ("source", "n_sources", "term_type") if c in dictionary_keyed.columns
+    ]
+    for c in source_cols:
+        right_payload[f"right_{c}"] = c
     d = F.broadcast(
-        _pass_keys(
-            dictionary_keyed,
-            "auth_id",
-            {
-                "right_name": "norm_label",
-                "right_description": "description",
-                "right_sorted": "_token_sorted",
-            },
-        ).withColumnRenamed("id", "right_key")
+        _pass_keys(dictionary_keyed, "auth_id", right_payload).withColumnRenamed(
+            "id", "right_key"
+        )
     )
     joined = e.join(d, ["block_pass", "block_key"]).select(
         "left_key", "right_key", "block_pass", "block_key",
         "left_name", "right_name", "right_description",
         "left_sorted", "right_sorted",
+        *[f"right_{c}" for c in source_cols],
     )
     return dedup_pairs(joined)
 

@@ -141,3 +141,32 @@ def distinct_entities(entities: DataFrame) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+def prepare_dictionary(dictionary: DataFrame) -> DataFrame:
+    """Normalize a (possibly multi-source) authority dictionary for blocking:
+
+    - default ``source`` = 'wikidata' and null ``n_sources``/``term_type``
+      when the caller passes a single-source dictionary (round-1 shape);
+    - A3-style per-(norm_label, source) dedup — the Spark rebuild of the
+      reference's match dedup ``key = (match.name.lower().strip(),
+      match.source)`` (reconciliation_engine.py:425-437), deterministic
+      first-wins by auth_id (never an order-dependent dropDuplicates).
+
+    The union of sources (Wikidata ∪ VIAF ∪ Getty per entity type,
+    reconciliation_engine.py:388-399) is the dictionary itself — callers
+    union per-source frames upstream; this function makes the union safe."""
+    from pyspark.sql import Window as W
+
+    if "source" not in dictionary.columns:
+        dictionary = dictionary.withColumn("source", F.lit("wikidata"))
+    if "n_sources" not in dictionary.columns:
+        dictionary = dictionary.withColumn("n_sources", F.lit(None).cast("int"))
+    if "term_type" not in dictionary.columns:
+        dictionary = dictionary.withColumn("term_type", F.lit(None).cast("string"))
+    w = W.partitionBy("norm_label", "source").orderBy("auth_id")
+    return (
+        dictionary.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )

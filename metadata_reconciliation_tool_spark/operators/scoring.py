@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from ..functions.confidence import (
     composite_match_score,
     confidence_band_5,
+    source_boost,
     wikidata_confidence,
 )
 from ..functions.normalize import token_sort
@@ -126,10 +127,29 @@ def score_pairs(
                 F.col("_ls") == F.col("_rs"),
             ),
         )
-        .withColumn("confidence", confidence_band_5(F.col("score")))
-        .withColumn("is_match", F.col("score") >= threshold)
     )
-    passthrough = [c for c in ("pair_kind",) if c in named_pairs.columns]
+    if "right_source" in named_pairs.columns:
+        # multi-source dictionary pairs: F9 VIAF source-count boost / F10
+        # Getty preferred-term boost, capped at 1.0 (self pairs carry a null
+        # source and boost nothing)
+        boost = source_boost(
+            F.col("right_source"), F.col("right_n_sources"), F.col("right_term_type")
+        )
+        scored = scored.withColumn(
+            "score",
+            F.when(
+                F.col("right_source").isNotNull(),
+                F.least(F.col("score") + boost, F.lit(1.0)),
+            ).otherwise(F.col("score")),
+        )
+    scored = scored.withColumn(
+        "confidence", confidence_band_5(F.col("score"))
+    ).withColumn("is_match", F.col("score") >= threshold)
+    passthrough = [
+        c
+        for c in ("pair_kind", "right_source")
+        if c in named_pairs.columns
+    ]
     return scored.select(
         "left_key",
         "right_key",

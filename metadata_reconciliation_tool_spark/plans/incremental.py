@@ -100,7 +100,7 @@ class IncrementalRecon:
         )
 
         nkeyed = B.add_block_keys(new_distinct)
-        dkeyed = B.add_block_keys(dictionary, "norm_label")
+        dkeyed = B.add_block_keys(E.prepare_dictionary(dictionary), "norm_label")
         # new ↔ dictionary
         dict_pairs = B.dictionary_candidates(nkeyed, dkeyed).withColumn(
             "pair_kind", F.lit("dict")
@@ -111,7 +111,8 @@ class IncrementalRecon:
             nkeyed, all_keyed, self.max_block_size
         )
         new_pairs = dict_pairs.unionByName(
-            touching_new.withColumn("pair_kind", F.lit("self"))
+            touching_new.withColumn("pair_kind", F.lit("self")),
+            allowMissingColumns=True,
         )
         new_scores = S.score_pairs(new_pairs, self.match_threshold)
 

@@ -102,7 +102,9 @@ class ReconPipeline:
         'dict') and entity↔entity ('self'). A single stage table halves the
         checkpoint writes and lets scoring make one pass over all pairs."""
         ekeyed = B.add_block_keys(distinct)
-        dkeyed = B.add_block_keys(dictionary, "norm_label")
+        # multi-source union semantics: default source + per-(norm_label,
+        # source) A3 dedup (reconciliation_engine.py:388-437)
+        dkeyed = B.add_block_keys(E.prepare_dictionary(dictionary), "norm_label")
 
         def compute():
             dict_pairs = B.dictionary_candidates(ekeyed, dkeyed).withColumn(
@@ -113,7 +115,11 @@ class ReconPipeline:
                 self._metric(
                     "blocking", "oversized_blocks_dropped", float(dropped.count())
                 )
-            return dict_pairs.unionByName(self_pairs.withColumn("pair_kind", F.lit("self")))
+            # self pairs carry no source metadata → nulls (boost nothing)
+            return dict_pairs.unionByName(
+                self_pairs.withColumn("pair_kind", F.lit("self")),
+                allowMissingColumns=True,
+            )
 
         return self._run_stage("blocking", compute)
 

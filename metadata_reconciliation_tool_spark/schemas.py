@@ -53,6 +53,18 @@ DICTIONARY = T.StructType(
     ]
 )
 
+# Multi-source dictionary: Wikidata ∪ VIAF ∪ Getty rows per entity
+# (reconciliation_engine.py:388-399; data_sources.py:312-509). `source`
+# drives the F9/F10 boosts in scoring; `term_type` is Getty's
+# preferred/alternate flag.
+DICTIONARY_MULTISOURCE = T.StructType(
+    list(DICTIONARY.fields)
+    + [
+        T.StructField("source", T.StringType(), False),
+        T.StructField("term_type", T.StringType(), True),
+    ]
+)
+
 # Candidate pair out of blocking (entity ↔ dictionary or entity ↔ entity).
 PAIRS = T.StructType(
     [
