@@ -1373,6 +1373,48 @@ def _mm(spark, sf):
 
 
 @_q(
+    "multimodal_wav_features",
+    """
+    WITH ids AS (
+      SELECT CAST(i AS BIGINT) AS media_id, 800 + (i % 5) * 160 AS n
+      FROM generate_series(0, 63) g(i)
+    ), samp AS (
+      SELECT media_id, UNNEST(generate_series(0, n - 1)) AS j FROM ids
+    ), vals AS (
+      SELECT media_id, j, ((media_id * 31 + j * 7) % 2001) - 1000 AS x FROM samp
+    ), zc AS (
+      SELECT media_id, sum(CASE WHEN x * lag_x < 0 THEN 1 ELSE 0 END) AS zero_crossings
+      FROM (SELECT media_id, x, lag(x) OVER (PARTITION BY media_id ORDER BY j) AS lag_x
+            FROM vals)
+      GROUP BY media_id
+    ), agg AS (
+      SELECT media_id, count(*) AS n_samples,
+             round(sqrt(sum(x * x) * 1.0 / count(*)), 4) AS rms,
+             max(abs(x)) AS peak
+      FROM vals GROUP BY media_id
+    )
+    SELECT a.media_id, CAST(1 AS INT) AS n_channels, CAST(8000 AS INT) AS sample_rate,
+           CAST(a.n_samples AS BIGINT) AS n_samples, CAST(a.rms AS DOUBLE) AS rms,
+           CAST(a.peak AS INT) AS peak, CAST(z.zero_crossings AS BIGINT) AS zero_crossings
+    FROM agg a JOIN zc z USING (media_id)
+    """,
+)
+def _mmw(spark, sf):
+    """REAL multimodal decode, hash-oracled: genuine RIFF/WAV payloads are
+    synthesized (stdlib wave+struct), decoded back (header parse + PCM16
+    stats) via mapInPandas, and the DuckDB twin recomputes the stats
+    analytically from the integer generating formula — if the encoder or
+    decoder were wrong, the round-trip would not match."""
+    from metadata_reconciliation_tool_spark.operators.multimodal import (
+        decode_wav_features,
+        gen_wav_media,
+    )
+
+    out = decode_wav_features(gen_wav_media(spark, 64))
+    return out.withColumn("rms", F.round("rms", 4))
+
+
+@_q(
     "dedup_simhash",
     None,  # assembled below — programmatically generated 64-bit SQL twin
 )

@@ -2,17 +2,27 @@
 columns with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
 The Spark-side machinery (schemas, batch iteration, partition sizing,
-deterministic synthetic payloads) is real and tested; the actual media
-decode is STUBBED — codec libraries (PIL/ffmpeg/librosa) are not in this
-container. Each stub either raises NotImplementedError (strict mode) or
-produces a deterministic fake derived from the bytes (test mode), keeping
-the pipeline shape — schema in, schema out, batch-wise Arrow transfer —
-exactly what would run at scale with the real decoder dropped in.
+deterministic synthetic payloads) is real and tested. Decode status per
+kind:
+
+- **audio/wav — REAL decode**, pure stdlib (``wave`` + numpy): header
+  parse, PCM16 frame read, waveform stats (RMS/peak/zero-crossings). The
+  synthetic WAV payloads are genuine RIFF files, and the decoded stats are
+  hash-oracled against DuckDB recomputing them analytically from the
+  generating formula — a full encode→decode→aggregate round-trip check.
+- image/video — STUBBED: codec libraries (PIL/ffmpeg) are not in this
+  container. Each stub either raises NotImplementedError (strict mode) or
+  produces a deterministic fake derived from the bytes (test mode), keeping
+  the pipeline shape — schema in, schema out, batch-wise Arrow transfer —
+  exactly what would run at scale with the real decoder dropped in.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import wave
 from collections.abc import Iterator
 
 import numpy as np
@@ -66,6 +76,101 @@ def gen_media(spark: SparkSession, n: int = 64) -> DataFrame:
         ).alias("mime"),
         F.create_map(F.lit("synthetic"), F.lit("true")).alias("meta"),
     )
+
+
+WAV_RATE = 8000
+
+
+def wav_samples_py(media_id: int, n_samples: int) -> np.ndarray:
+    """Deterministic PCM16 waveform: sample j = ((id*31 + j*7) % 2001) - 1000.
+    Integer-only so the DuckDB oracle recomputes it exactly."""
+    j = np.arange(n_samples, dtype=np.int64)
+    return (((media_id * 31 + j * 7) % 2001) - 1000).astype(np.int16)
+
+
+def wav_bytes_py(media_id: int, n_samples: int, rate: int = WAV_RATE) -> bytes:
+    """A genuine mono PCM16 RIFF/WAV file built with the stdlib."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        samples = wav_samples_py(media_id, n_samples)
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
+def gen_wav_media(spark: SparkSession, n: int = 64) -> DataFrame:
+    """Deterministic synthetic audio table of REAL WAV payloads; sample
+    counts vary per row (800 + (id%5)·160) to exercise variable-length
+    decode. Built via mapInPandas — synthesis is not a hot path."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "kind": "audio",
+                    "payload": [
+                        wav_bytes_py(int(m), 800 + (int(m) % 5) * 160) for m in ids
+                    ],
+                    "mime": "audio/wav",
+                    "meta": [{"synthetic": "true"}] * len(ids),
+                }
+            )
+
+    return spark.range(n).mapInPandas(fn, MEDIA_SCHEMA)
+
+
+WAV_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_channels", T.IntegerType(), False),
+        T.StructField("sample_rate", T.IntegerType(), False),
+        T.StructField("n_samples", T.LongType(), False),
+        T.StructField("rms", T.DoubleType(), False),
+        T.StructField("peak", T.IntegerType(), False),
+        T.StructField("zero_crossings", T.LongType(), False),
+    ]
+)
+
+
+def decode_wav_py(payload: bytes) -> dict:
+    """REAL WAV decode: stdlib ``wave`` header parse + PCM16 numpy stats.
+    RMS = sqrt(Σx²/n) of the exact integer sums (float-parity-safe at 4dp);
+    zero crossings counted as sign-product < 0 on int64 (int16 products
+    would overflow)."""
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        n_channels = w.getnchannels()
+        rate = w.getframerate()
+        n = w.getnframes()
+        raw = w.readframes(n)
+    x = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+    rms = float(np.sqrt(int(np.sum(x * x)) / max(len(x), 1)))
+    return {
+        "n_channels": n_channels,
+        "sample_rate": rate,
+        "n_samples": len(x),
+        "rms": rms,
+        "peak": int(np.max(np.abs(x))) if len(x) else 0,
+        "zero_crossings": int(np.sum(x[:-1] * x[1:] < 0)) if len(x) > 1 else 0,
+    }
+
+
+def decode_wav_features(media: DataFrame) -> DataFrame:
+    """audio/wav rows → decoded waveform stats via mapInPandas (one Arrow
+    pass per partition, same batch shape as the stubbed kinds)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [decode_wav_py(p) for p in pdf["payload"]]
+            out = pd.DataFrame(rows)
+            out.insert(0, "media_id", pdf["media_id"].values)
+            yield out
+
+    wavs = media.filter((F.col("kind") == "audio") & (F.col("mime") == "audio/wav"))
+    return wavs.mapInPandas(fn, WAV_FEATURES_SCHEMA)
 
 
 def _decode_stub(payload: bytes, kind: str, strict: bool) -> np.ndarray:

@@ -2,8 +2,11 @@
 
 The reference persists per-row into SQLite (database.py:339-391) and
 exports flattened CSV with a NO_MATCH sentinel (web.py:408-485) and a JSON
-envelope (web.py:488-538). Here: parquet stage tables (Iceberg in
-production — same writer interface), and the exports as single declarative
+envelope (web.py:488-538). Here: format-parameterized stage tables —
+Iceberg ``writeTo(...).createOrReplace()`` when a target is a table
+identifier and an Iceberg catalog is configured (the production path named
+by the north rule), parquet paths otherwise (tests/sandbox, where the
+Iceberg runtime jar is absent) — and the exports as single declarative
 writes.
 """
 
@@ -15,9 +18,58 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def write_stage(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
-    """Checkpointed stage output. Overwrite = idempotent re-run; the
-    parquet _SUCCESS marker is the resume contract (plans/pipeline.py)."""
+def _is_table_identifier(path: str) -> bool:
+    """Heuristic shared by all stage I/O: filesystem paths contain '/',
+    Iceberg targets are dotted table identifiers (catalog.db.table)."""
+    return "/" not in path
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """Probe for a usable Iceberg catalog: some ``spark.sql.catalog.<name>``
+    conf points at an Iceberg implementation AND the class actually loads
+    (config without the runtime jar raises on first use)."""
+    try:
+        confs = spark.sparkContext.getConf().getAll()
+    except Exception:  # pragma: no cover - session without a live context
+        return False
+    names = [
+        k.split(".")[3]
+        for k, v in confs
+        if k.startswith("spark.sql.catalog.") and k.count(".") == 3 and "iceberg" in v.lower()
+    ]
+    for name in names:
+        try:
+            spark.sql(f"SHOW NAMESPACES IN {name}").collect()
+            return True
+        except Exception:  # noqa: BLE001 — jar missing / catalog unusable
+            continue
+    return False
+
+
+def write_stage(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    fmt: str | None = None,
+) -> None:
+    """Checkpointed stage output, format-parameterized.
+
+    ``fmt=None`` auto-selects: 'iceberg' when ``path`` is a table identifier
+    and :func:`iceberg_available`, else 'parquet'. Both branches are
+    overwrite = idempotent re-run; the resume contract is the parquet
+    _SUCCESS marker / Iceberg table existence (plans/pipeline.py)."""
+    if fmt is None:
+        fmt = (
+            "iceberg"
+            if _is_table_identifier(path) and iceberg_available(df.sparkSession)
+            else "parquet"
+        )
+    if fmt == "iceberg":
+        w = df.writeTo(path).using("iceberg")
+        if partition_by:
+            w = w.partitionedBy(*[F.col(c) for c in partition_by])
+        w.createOrReplace()
+        return
     w = df.write.mode("overwrite")
     if partition_by:
         w = w.partitionBy(*partition_by)
@@ -25,10 +77,17 @@ def write_stage(df: DataFrame, path: str, partition_by: list[str] | None = None)
 
 
 def stage_exists(spark: SparkSession, path: str) -> bool:
+    if _is_table_identifier(path):
+        try:
+            return spark.catalog.tableExists(path)
+        except Exception:  # noqa: BLE001 — no such catalog in this session
+            return False
     return os.path.exists(os.path.join(path, "_SUCCESS"))
 
 
 def read_stage(spark: SparkSession, path: str) -> DataFrame:
+    if _is_table_identifier(path):
+        return spark.table(path)
     return spark.read.parquet(path)
 
 

@@ -215,6 +215,36 @@ def test_multimodal_plumbing(spark):
         assert again[r.media_id] == r.feature
 
 
+def test_wav_roundtrip_decode_matches_formula(spark):
+    """Encode→decode round-trip: real RIFF/WAV files parsed with the stdlib
+    must reproduce the generating formula's stats exactly."""
+    import numpy as np
+
+    from metadata_reconciliation_tool_spark.operators.multimodal import (
+        WAV_RATE,
+        decode_wav_features,
+        decode_wav_py,
+        gen_wav_media,
+        wav_bytes_py,
+        wav_samples_py,
+    )
+
+    # pure-python pin first (no Spark): formula → bytes → decode
+    m, n = 7, 960
+    feats = decode_wav_py(wav_bytes_py(m, n))
+    x = wav_samples_py(m, n).astype(np.int64)
+    assert feats["n_channels"] == 1 and feats["sample_rate"] == WAV_RATE
+    assert feats["n_samples"] == n
+    assert feats["peak"] == int(np.max(np.abs(x)))
+    assert feats["zero_crossings"] == int(np.sum(x[:-1] * x[1:] < 0))
+    assert feats["rms"] == float(np.sqrt(int(np.sum(x * x)) / n))
+
+    # distributed path: variable-length payloads, one row per input
+    rows = decode_wav_features(gen_wav_media(spark, 16)).collect()
+    assert len(rows) == 16
+    assert {r.n_samples for r in rows} == {800, 960, 1120, 1280, 1440}
+
+
 def test_multimodal_strict_mode_raises(spark):
     from metadata_reconciliation_tool_spark.operators.multimodal import (
         extract_features,

@@ -1,0 +1,96 @@
+"""Skew stress for blocking: one pathological block (same-prefix entities)
+must be (a) split by salt fan-out with every pair produced exactly once,
+(b) droppable-and-reported at max_block_size, and (c) handled by the
+asymmetric (incremental) candidate path with batch-scaled output."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+N = 1000  # one hot block: all names share the 6-char token-sorted prefix
+
+
+@pytest.fixture(scope="module")
+def hot_block(spark):
+    rows = [
+        (f"e{i:05d}", f"aaaaaa x{i:05d}", f"aaaaaa x{i:05d}", "person")
+        for i in range(N)
+    ]
+    return spark.createDataFrame(
+        rows, ["entity_key", "name", "norm_name", "entity_type"]
+    )
+
+
+def test_salt_fanout_produces_each_pair_exactly_once(spark, hot_block):
+    from metadata_reconciliation_tool_spark.operators.blocking import (
+        add_block_keys,
+        self_candidates,
+    )
+
+    keyed = add_block_keys(hot_block)
+    pairs, dropped = self_candidates(
+        keyed, max_block_size=N, rows_per_salt=64, max_salts=8
+    )
+    assert dropped.count() == 0
+    # C(N,2): no pair lost to salting, none duplicated across salts/passes
+    assert pairs.count() == N * (N - 1) // 2
+
+
+def test_salt_assignment_bounds_the_hottest_task(spark, hot_block):
+    """The left-side salt split must spread the hot block ~evenly: the
+    biggest (block, salt) bucket bounds the biggest shuffle task."""
+    n_salts = 8
+    dist = (
+        hot_block.select(
+            F.pmod(F.xxhash64("entity_key"), F.lit(n_salts)).alias("salt")
+        )
+        .groupBy("salt")
+        .count()
+        .collect()
+    )
+    counts = {r.salt: r["count"] for r in dist}
+    assert len(counts) == n_salts
+    assert max(counts.values()) <= (N / n_salts) * 1.5  # no degenerate bucket
+
+
+def test_oversized_block_dropped_and_reported(spark, hot_block):
+    from metadata_reconciliation_tool_spark.operators.blocking import (
+        add_block_keys,
+        self_candidates,
+    )
+
+    keyed = add_block_keys(hot_block)
+    pairs, dropped = self_candidates(keyed, max_block_size=N // 2)
+    drop_rows = dropped.collect()
+    # the shared-prefix block (all N rows) is dropped and reported; the
+    # lsh/metaphone passes key on the varying numeric token, so their small
+    # blocks legitimately survive and still cover pairs
+    assert any(r.block_pass == "prefix" and r.block_n == N for r in drop_rows)
+    assert pairs.filter(F.col("block_pass") == "prefix").count() == 0
+
+
+def test_asymmetric_candidates_under_skew(spark, hot_block):
+    """Incremental path on the same hot block: batch of 100 new keys against
+    900 old ones — exactly the new-touching pairs, nothing old↔old."""
+    from metadata_reconciliation_tool_spark.operators.blocking import (
+        add_block_keys,
+        asymmetric_candidates,
+    )
+
+    new = add_block_keys(hot_block.filter(F.col("entity_key") >= f"e{N - 100:05d}"))
+    allk = add_block_keys(hot_block)
+    pairs, dropped = asymmetric_candidates(
+        new, allk, max_block_size=N, rows_per_salt=64, max_salts=8
+    )
+    assert dropped.count() == 0
+    expect = N * (N - 1) // 2 - (N - 100) * (N - 101) // 2
+    assert pairs.count() == expect
+    olds = {f"e{i:05d}" for i in range(N - 100)}
+    assert (
+        pairs.filter(
+            F.col("left_key").isin(list(olds)) & F.col("right_key").isin(list(olds))
+        ).count()
+        == 0
+    )
