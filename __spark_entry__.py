@@ -765,16 +765,36 @@ def _f18(spark, sf):
     )
 
 
-@_q("multimodal_frame_sample")
+@_q(
+    "multimodal_frame_sample",
+    """
+    -- twin of gen_media(48) video rows + frame_sample_plan(every_n=10):
+    -- payload = 'payload:' || repeat(md5(id), 4) → length is deterministic,
+    -- frame count = length/8, sampled every 10th index (inclusive bounds)
+    WITH media AS (
+      SELECT CAST(i AS BIGINT) AS media_id,
+             8 + 4 * len(md5(CAST(i AS VARCHAR))) AS n_bytes
+      FROM generate_series(0, 47) g(i)
+      WHERE i % 3 = 2  -- kind = 'video'
+    )
+    SELECT media_id,
+           UNNEST(generate_series(0, CAST(n_bytes / 8 AS INT), 10)) AS frame_idx
+    FROM media
+    """,
+)
 def _mmf(spark, sf):
-    """Video frame-sampling plan (row explosion via sequence/posexplode;
-    decode stubbed — rows-only check)."""
+    """Video frame-sampling plan (row explosion via sequence/explode). The
+    decode is stubbed but the PLAN is exact and deterministic — the DuckDB
+    twin recomputes the synthetic payload lengths and the sampled frame
+    indices analytically."""
     from metadata_reconciliation_tool_spark.operators.multimodal import (
         frame_sample_plan,
         gen_media,
     )
 
-    return frame_sample_plan(gen_media(spark, 48))
+    return frame_sample_plan(gen_media(spark, 48)).select(
+        "media_id", F.col("frame_idx").cast("long").alias("frame_idx")
+    )
 
 
 # ---- streaming twins ---------------------------------------------------------
