@@ -48,6 +48,55 @@ def test_incremental_equals_full_run(spark, bundle, tmp_path):
     assert all(r.left_key in new_keys or r.right_key in new_keys for r in self_rows)
 
 
+def test_streaming_ingest_equals_full_run(spark, bundle, tmp_path):
+    """foreachBatch streaming ingest over the incremental plan: bootstrap on
+    batch 1, stream batch 2 in as multiple micro-batches (maxFilesPerTrigger
+    =1), final clusters must equal one full batch run over everything."""
+    from metadata_reconciliation_tool_spark.plans.incremental import IncrementalRecon
+    from metadata_reconciliation_tool_spark.plans.pipeline import (
+        ReconConfig,
+        ReconPipeline,
+    )
+    from metadata_reconciliation_tool_spark.streaming.ingest_stream import (
+        stream_ingest_transcripts,
+    )
+
+    t = bundle["transcripts"]
+    batch1 = t.filter(F.crc32(F.col("conv_id")) % 2 == 0)
+    batch2 = t.filter(F.crc32(F.col("conv_id")) % 2 == 1)
+
+    work = str(tmp_path / "inc")
+    cfg = ReconConfig(job_id="j", work_dir=work, force=True, collect_metrics=False)
+    ReconPipeline(spark, cfg).run(batch1, bundle["dictionary"])
+
+    stream_dir = str(tmp_path / "stream_in")
+    batch2.repartition(2).write.parquet(stream_dir)  # ≥2 files → ≥2 micro-batches
+    q = stream_ingest_transcripts(
+        spark,
+        stream_dir,
+        bundle["dictionary"],
+        work,
+        "j",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(300)
+
+    inc = IncrementalRecon(spark, work, "j")
+    committed = inc.committed_batches()
+    assert len(committed) >= 2 and all(b.startswith("s") for b in committed)
+
+    full_work = str(tmp_path / "full")
+    cfg2 = ReconConfig(job_id="j", work_dir=full_work, force=True, collect_metrics=False)
+    full = ReconPipeline(spark, cfg2).run(t, bundle["dictionary"])
+    got = {
+        r.entity_key: r.cluster_id
+        for r in spark.read.parquet(f"{work}/j/stage_clusters").collect()
+    }
+    want = {r.entity_key: r.cluster_id for r in full["clusters"].collect()}
+    assert got == want
+
+
 def test_incremental_crash_recovery_reingests_partial_batch(spark, bundle, tmp_path):
     """A crash between the two state writes must leave the batch invisible
     (uncommitted) so the rerun re-ingests it — round 1 appended
