@@ -19,9 +19,13 @@ NEW batch against the existing checkpointed state:
    batches only — a crash mid-batch leaves an uncommitted directory that
    the rerun simply overwrites, never a half-applied batch whose keys are
    "seen" but whose scores are lost;
-5. re-run connected components over old+new match edges (CC itself is cheap
-   relative to scoring — edges are the sparse output, and the
-   star-contraction rounds converge in O(log d)).
+5. refresh connected components INCREMENTALLY: the prior assignment
+   compresses each old component to star edges (member → cluster_id, one
+   edge per node), so CC runs over prior-stars ∪ the batch's match edges —
+   O(corpus nodes + batch edges), never the full ever-growing edge log. A
+   clusters_reflect.json sidecar records which committed batches the
+   clusters reflect, so a crash between batch commit and cluster refresh is
+   healed by folding the unreflected batches' edges back in.
 
 Determinism: a rerun of the same batch_id is idempotent (recomputes from
 committed state only, overwrites its own uncommitted leftovers).
@@ -66,6 +70,27 @@ class IncrementalRecon:
             b for b in os.listdir(root)
             if os.path.exists(os.path.join(root, b, COMMIT_MARKER))
         )
+
+    def _reflect_path(self) -> str:
+        return os.path.join(self.base, "clusters_reflect.json")
+
+    def _clusters_reflect(self) -> list[str] | None:
+        """Which committed batches the clusters stage reflects (None = the
+        bootstrap-only clusters from the full pipeline run, or unknown)."""
+        import json
+
+        try:
+            with open(self._reflect_path()) as fh:
+                return json.load(fh)
+        except (OSError, ValueError):
+            # bootstrap clusters (full run reflects zero incremental batches)
+            return [] if W.stage_exists(self.spark, self._stage("clusters")) else None
+
+    def _write_clusters_reflect(self, batch_ids: list[str]) -> None:
+        import json
+
+        with open(self._reflect_path(), "w") as fh:
+            json.dump(sorted(batch_ids), fh)
 
     def _read_state(self, name: str) -> DataFrame:
         """Bootstrap stage ∪ committed batch appends (uncommitted partial
@@ -125,16 +150,50 @@ class IncrementalRecon:
         with open(os.path.join(bdir, COMMIT_MARKER), "w") as fh:
             fh.write("")
 
-        # refresh clusters over ALL match edges (old + new) — derived state,
-        # rebuilt after commit (safe to lose: recomputable from the log)
-        all_scores = self._read_state("scoring")
-        edges = all_scores.filter(
-            (F.col("pair_kind") == "self") & F.col("is_match")
-        ).select("left_key", "right_key")
+        # refresh clusters — derived state, rebuilt after commit (safe to
+        # lose: recomputable from the log). The prior assignment compresses
+        # each old component to star edges (member → cluster_id, one edge
+        # per node), so CC runs over prior-stars ∪ this batch's match edges
+        # instead of every match edge ever scored: connectivity is preserved
+        # (stars keep each old component connected; cluster ids are min
+        # member keys, and CC re-derives the min over any merged component),
+        # and CC input stays O(corpus nodes + batch edges), not O(all edges).
+        clusters_path = self._stage("clusters")
+        reflected = self._clusters_reflect()
+        committed = self.committed_batches()  # includes this batch now
+        if W.stage_exists(spark, clusters_path) and reflected is not None:
+            # star edges preserve each prior component's connectivity with
+            # one edge per node; add match edges of every committed batch
+            # the prior clusters don't reflect yet (normally just this one —
+            # more after a crash between commit and cluster refresh)
+            prior_stars = (
+                W.read_stage(spark, clusters_path)
+                .filter(F.col("entity_key") != F.col("cluster_id"))
+                .select(
+                    F.col("entity_key").alias("left_key"),
+                    F.col("cluster_id").alias("right_key"),
+                )
+            )
+            missing = [b for b in committed if b not in reflected]
+            edges = prior_stars
+            if missing:
+                unreflected = spark.read.parquet(
+                    *[os.path.join(self._batch_dir(b), "scoring") for b in missing]
+                )
+                edges = prior_stars.unionByName(
+                    unreflected.filter(
+                        (F.col("pair_kind") == "self") & F.col("is_match")
+                    ).select("left_key", "right_key")
+                )
+        else:
+            edges = self._read_state("scoring").filter(
+                (F.col("pair_kind") == "self") & F.col("is_match")
+            ).select("left_key", "right_key")
         comps = C.connected_components(edges)
         all_distinct = self._read_state("entities_distinct")
         clusters = C.assign_clusters(all_distinct, comps)
-        W.write_stage(clusters, self._stage("clusters"))
+        W.write_stage(clusters, clusters_path)
+        self._write_clusters_reflect(committed)
 
         return {
             "new_entities": new_distinct,

@@ -97,6 +97,50 @@ def test_streaming_ingest_equals_full_run(spark, bundle, tmp_path):
     assert got == want
 
 
+def test_cluster_refresh_heals_unreflected_batches(spark, bundle, tmp_path):
+    """Crash window: batch committed but the cluster refresh never ran. The
+    next ingest must fold the unreflected batch's match edges back in (via
+    clusters_reflect.json) — prior-star compression alone would lose them."""
+    import os
+    import shutil
+
+    from metadata_reconciliation_tool_spark.plans.incremental import IncrementalRecon
+    from metadata_reconciliation_tool_spark.plans.pipeline import (
+        ReconConfig,
+        ReconPipeline,
+    )
+
+    t = bundle["transcripts"]
+    parts = [t.filter(F.crc32(F.col("conv_id")) % 3 == i) for i in range(3)]
+
+    work = str(tmp_path / "inc")
+    cfg = ReconConfig(job_id="j", work_dir=work, force=True, collect_metrics=False)
+    ReconPipeline(spark, cfg).run(parts[0], bundle["dictionary"])
+
+    clusters_dir = f"{work}/j/stage_clusters"
+    saved = str(tmp_path / "saved_clusters")
+    shutil.copytree(clusters_dir, saved)  # bootstrap-time clusters
+
+    inc = IncrementalRecon(spark, work, "j")
+    inc.ingest_batch(parts[1], bundle["dictionary"])
+    # simulate the crash: batch b0 is committed, but roll clusters + reflect
+    # sidecar back to their pre-ingest state
+    shutil.rmtree(clusters_dir)
+    shutil.copytree(saved, clusters_dir)
+    os.remove(f"{work}/j/clusters_reflect.json")
+
+    out = IncrementalRecon(spark, work, "j").ingest_batch(
+        parts[2], bundle["dictionary"]
+    )
+
+    full_work = str(tmp_path / "full")
+    cfg2 = ReconConfig(job_id="j", work_dir=full_work, force=True, collect_metrics=False)
+    full = ReconPipeline(spark, cfg2).run(t, bundle["dictionary"])
+    got = {r.entity_key: r.cluster_id for r in out["clusters"].collect()}
+    want = {r.entity_key: r.cluster_id for r in full["clusters"].collect()}
+    assert got == want
+
+
 def test_incremental_crash_recovery_reingests_partial_batch(spark, bundle, tmp_path):
     """A crash between the two state writes must leave the batch invisible
     (uncommitted) so the rerun re-ingests it — round 1 appended
