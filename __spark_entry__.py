@@ -1338,7 +1338,9 @@ def _annc(spark, sf):
     )
 
 
-# ---- rows-only entries (non-SQL-expressible) -----------------------------------
+# ---- rows-only / recursive-oracle entries ---------------------------------------
+# (recon_best_matches and multimodal_features stay rows-only: pandas-UDF
+# scoring batteries and binary decode aren't SQL-expressible)
 
 
 @_q("recon_best_matches")
@@ -1349,13 +1351,60 @@ def _recon(spark, sf):
     return entry(spark)
 
 
-@_q("dedup_document_clusters")
+@_q(
+    "dedup_document_clusters",
+    """
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t
+      FROM documents
+    ), keys AS (
+      SELECT doc_id, t,
+        list_min(list_transform(t, x -> md5('0:' || x))) AS mh0,
+        list_min(list_transform(t, x -> md5('1:' || x))) AS mh1,
+        list_min(list_transform(t, x -> md5('2:' || x))) AS mh2,
+        list_min(list_transform(t, x -> md5('3:' || x))) AS mh3
+      FROM toks
+    ), bands AS (
+      SELECT doc_id, t, '0:' || mh0 AS bk FROM keys UNION ALL
+      SELECT doc_id, t, '1:' || mh1 FROM keys UNION ALL
+      SELECT doc_id, t, '2:' || mh2 FROM keys UNION ALL
+      SELECT doc_id, t, '3:' || mh3 FROM keys
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+      FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
+    ), edges AS (
+      SELECT c.left_id, c.right_id
+      FROM cand c JOIN toks lt ON c.left_id = lt.doc_id
+                  JOIN toks rt ON c.right_id = rt.doc_id
+      WHERE len(list_intersect(lt.t, rt.t)) * 1.0 / len(list_distinct(lt.t || rt.t)) >= 0.8
+    ), sym AS (
+      SELECT CAST(left_id AS VARCHAR) AS a, CAST(right_id AS VARCHAR) AS b FROM edges
+      UNION
+      SELECT CAST(right_id AS VARCHAR), CAST(left_id AS VARCHAR) FROM edges
+    ), reach(a, b) AS (
+      -- transitive closure; UNION (distinct) terminates the recursion.
+      -- Oracle-scale only (closure is Σ|component|² pairs — fine at sf0.01;
+      -- the Spark side uses O(log d)-round star contraction instead)
+      SELECT CAST(doc_id AS VARCHAR), CAST(doc_id AS VARCHAR) FROM documents
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    ), comp AS (
+      SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
+    ), sizes AS (
+      SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id
+    )
+    SELECT comp.doc_id, comp.cluster_id, sizes.cluster_size
+    FROM comp JOIN sizes USING (cluster_id)
+    """,
+)
 def _ddc(spark, sf):
     """Document near-dup CLUSTERS: MinHash-LSH pairs → the same
     large-star/small-star connected components used for entity clustering
     (J7 machinery reused on documents) → cluster id + size per doc.
-    Iterative CC is not SQL-expressible → rows-only check; the CC operator
-    itself is oracle-tested in pytest against a union-find oracle."""
+    Cluster id = lexicographic min member key, so the iterative CC is
+    SQL-twinnable as a recursive-CTE transitive closure + min-over-reachable
+    (exact at oracle scale); the CC operator is additionally pytest-oracled
+    against a union-find."""
     from metadata_reconciliation_tool_spark.operators.clustering import (
         assign_clusters,
         connected_components,
