@@ -880,38 +880,73 @@ def _df(spark, sf):
     return fingerprint_dedup(_t(spark, sf, "documents")).select("doc_id")
 
 
-@_q(
-    "dedup_minhash_lsh",
-    """
-    WITH toks AS (
-      SELECT doc_id, list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t
+def _minhash_edges_cte(
+    threshold: float, n_bands: int = 8, rows_per_band: int = 2, cap: int = 1000
+) -> str:
+    """Generate the CTE chain twinning operators/dedup.py:minhash_lsh_pairs:
+    r-row md5-minhash band keys, bucket-size split at ``cap`` (small buckets
+    → all within-bucket pairs; oversized buckets → star against the min-id
+    representative), word-set Jaccard ≥ threshold verify. Ends with an
+    ``edges(left_id, right_id, jaccard)`` CTE."""
+    n = n_bands * rows_per_band
+    mins = ",\n        ".join(
+        f"list_min(list_transform(t, x -> md5('{s}:' || x))) AS mh{s}"
+        for s in range(n)
+    )
+    band_rows = " UNION ALL\n      ".join(
+        f"SELECT doc_id, '{b}:' || "
+        + " || ':' || ".join(f"mh{b * rows_per_band + j}" for j in range(rows_per_band))
+        + " AS bk FROM keys"
+        for b in range(n_bands)
+    )
+    jac = "len(list_intersect(lt.t, rt.t)) * 1.0 / len(list_distinct(lt.t || rt.t))"
+    return f"""
+    toks AS (
+      SELECT doc_id,
+             list_filter(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')),
+                         x -> x <> '') AS t
       FROM documents
     ), keys AS (
-      SELECT doc_id, t,
-        list_min(list_transform(t, x -> md5('0:' || x))) AS mh0,
-        list_min(list_transform(t, x -> md5('1:' || x))) AS mh1,
-        list_min(list_transform(t, x -> md5('2:' || x))) AS mh2,
-        list_min(list_transform(t, x -> md5('3:' || x))) AS mh3
+      SELECT doc_id, {mins}
       FROM toks
     ), bands AS (
-      SELECT doc_id, t, '0:' || mh0 AS bk FROM keys UNION ALL
-      SELECT doc_id, t, '1:' || mh1 FROM keys UNION ALL
-      SELECT doc_id, t, '2:' || mh2 FROM keys UNION ALL
-      SELECT doc_id, t, '3:' || mh3 FROM keys
+      {band_rows}
+    ), bsizes AS (
+      SELECT bk, count(*) AS block_n FROM bands WHERE bk IS NOT NULL GROUP BY bk
+    ), small AS (
+      SELECT b.doc_id, b.bk FROM bands b JOIN bsizes s ON b.bk = s.bk
+      WHERE s.block_n <= {cap}
+    ), big AS (
+      SELECT b.doc_id, b.bk, min(b.doc_id) OVER (PARTITION BY b.bk) AS rep
+      FROM bands b JOIN bsizes s ON b.bk = s.bk
+      WHERE s.block_n > {cap}
     ), cand AS (
-      SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
-      FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
-    )
-    SELECT c.left_id, c.right_id,
-           CAST(round(len(list_intersect(lt.t, rt.t)) * 1.0 /
-                      len(list_distinct(lt.t || rt.t)), 6) AS DOUBLE) AS jaccard
-    FROM cand c JOIN toks lt ON c.left_id = lt.doc_id
-                JOIN toks rt ON c.right_id = rt.doc_id
-    WHERE len(list_intersect(lt.t, rt.t)) * 1.0 / len(list_distinct(lt.t || rt.t)) >= 0.7
+      SELECT DISTINCT left_id, right_id FROM (
+        SELECT a.doc_id AS left_id, b.doc_id AS right_id
+        FROM small a JOIN small b ON a.bk = b.bk AND a.doc_id < b.doc_id
+        UNION ALL
+        SELECT rep AS left_id, doc_id AS right_id FROM big WHERE doc_id <> rep
+      )
+    ), edges AS (
+      SELECT c.left_id, c.right_id, {jac} AS jaccard
+      FROM cand c JOIN toks lt ON c.left_id = lt.doc_id
+                  JOIN toks rt ON c.right_id = rt.doc_id
+      WHERE {jac} >= {threshold}
+    )"""
+
+
+@_q(
+    "dedup_minhash_lsh",
+    "WITH "
+    + _minhash_edges_cte(0.7)
+    + """
+    SELECT left_id, right_id, CAST(round(jaccard, 6) AS DOUBLE) AS jaccard
+    FROM edges
     """,
 )
 def _dmh(spark, sf):
-    """MinHash-LSH near-dup pairs (4 md5-minhash bands, Jaccard ≥ 0.7 verify)."""
+    """MinHash-LSH near-dup pairs (8 bands × 2-row md5-minhash keys,
+    Jaccard ≥ 0.7 verify, oversized buckets star-linked at 1000)."""
     from metadata_reconciliation_tool_spark.operators.dedup import minhash_lsh_pairs
 
     out = minhash_lsh_pairs(_t(spark, sf, "documents"))
@@ -1353,31 +1388,9 @@ def _recon(spark, sf):
 
 @_q(
     "dedup_document_clusters",
-    """
-    WITH RECURSIVE toks AS (
-      SELECT doc_id, list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t
-      FROM documents
-    ), keys AS (
-      SELECT doc_id, t,
-        list_min(list_transform(t, x -> md5('0:' || x))) AS mh0,
-        list_min(list_transform(t, x -> md5('1:' || x))) AS mh1,
-        list_min(list_transform(t, x -> md5('2:' || x))) AS mh2,
-        list_min(list_transform(t, x -> md5('3:' || x))) AS mh3
-      FROM toks
-    ), bands AS (
-      SELECT doc_id, t, '0:' || mh0 AS bk FROM keys UNION ALL
-      SELECT doc_id, t, '1:' || mh1 FROM keys UNION ALL
-      SELECT doc_id, t, '2:' || mh2 FROM keys UNION ALL
-      SELECT doc_id, t, '3:' || mh3 FROM keys
-    ), cand AS (
-      SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
-      FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
-    ), edges AS (
-      SELECT c.left_id, c.right_id
-      FROM cand c JOIN toks lt ON c.left_id = lt.doc_id
-                  JOIN toks rt ON c.right_id = rt.doc_id
-      WHERE len(list_intersect(lt.t, rt.t)) * 1.0 / len(list_distinct(lt.t || rt.t)) >= 0.8
-    ), sym AS (
+    "WITH RECURSIVE "
+    + _minhash_edges_cte(0.8)
+    + """, sym AS (
       SELECT CAST(left_id AS VARCHAR) AS a, CAST(right_id AS VARCHAR) AS b FROM edges
       UNION
       SELECT CAST(right_id AS VARCHAR), CAST(left_id AS VARCHAR) FROM edges

@@ -45,6 +45,7 @@ HEADLINE = [
     "st_sessionize",
     "dedup_exact",
     "dedup_simhash",
+    "dedup_minhash_lsh",
     "text_quality",
     "text_token_counts",
     "text_langid",

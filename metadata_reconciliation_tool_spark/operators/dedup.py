@@ -14,7 +14,7 @@ Design at 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -49,54 +49,107 @@ from ..functions.textstats import (
 )
 
 
+def _keep_min_id_per_key(docs: DataFrame, key, id_col: str) -> DataFrame:
+    """Keep the min-``id_col`` row per ``key`` — the skew-safe way.
+
+    A row_number() window partitioned by the key puts EVERY row of a hot
+    group through one task's sort (a mega-dup group of identical docs is
+    exactly the skewed case dedup exists for). groupBy().min() instead gets
+    map-side partial aggregation — a hot group collapses to one row per map
+    task before the shuffle — and the representative fetch joins on the
+    composite (key, id) pair, which is skew-free by construction (ids are
+    unique, so no composite key repeats)."""
+    with_key = docs.withColumn("__k", key)
+    reps = with_key.groupBy("__k").agg(F.min(id_col).alias(id_col))
+    return with_key.join(reps, ["__k", id_col], "semi").drop("__k")
+
+
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup by content hash: keep the min-id row per md5(text).
-    Hash-groupBy — one shuffle on a 128-bit key, no text comparison."""
-    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
-    return docs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+    Hash-groupBy with map-side combine — one skew-free shuffle, no text
+    comparison."""
+    return _keep_min_id_per_key(docs, F.md5(F.col(text_col)), id_col)
 
 
 def fingerprint_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Order-insensitive near-exact dedup: same sorted-distinct-token-set
     fingerprint → same group; keep min id."""
-    w = Window.partitionBy(doc_fingerprint(F.col(text_col))).orderBy(F.col(id_col))
-    return docs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+    return _keep_min_id_per_key(docs, doc_fingerprint(F.col(text_col)), id_col)
 
 
 def minhash_lsh_pairs(
     docs: DataFrame,
-    n_bands: int = 4,
+    n_bands: int = 8,
+    rows_per_band: int = 2,
     jaccard_threshold: float = 0.7,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_block_size: int = 1000,
 ) -> DataFrame:
-    """MinHash-LSH near-duplicate pairs: n_bands md5-minhash band keys →
-    bucket self-join per band → union → verify word-set Jaccard ≥ t.
+    """MinHash-LSH near-duplicate pairs: n_bands band keys, each the concat
+    of rows_per_band md5-minhash values → bucket self-join per band → union
+    → verify word-set Jaccard ≥ t. Returns (left_id, right_id, jaccard).
 
-    Band keys are single md5-min values (shingle = word), so both the Spark
-    plan and the SQL oracle compute identical buckets. Returns
-    (left_id, right_id, jaccard)."""
+    Band keys are md5-min values (shingle = word), so both the Spark plan
+    and the SQL oracle compute identical buckets.
+
+    Scale design:
+    - rows_per_band > 1 makes a band collision require ALL r minhashes equal
+      (probability J^r, not J) — with r=1 every document sharing the
+      corpus-global min token lands in one bucket, and bucket population
+      grows linearly with the corpus. Recall at b bands is 1-(1-J^r)^b
+      (b=8, r=2 → 0.995 at J=0.7, 0.9997 at J=0.8).
+    - buckets larger than ``max_block_size`` are genuine mega-dup clusters
+      (unrelated docs collide with probability J^r): emitting all C(n,2)
+      within-bucket pairs is quadratic in cluster size, so oversized buckets
+      are STAR-linked instead — every member pairs with the bucket's min id
+      only (O(n) pairs, connectivity preserved for downstream CC; members
+      whose Jaccard to the representative falls below t lose their edge —
+      the documented recall trade). The oversized-key list and the per-bucket
+      representative list are both ≤ corpus/max_block_size rows by
+      construction → broadcast the exception, never the rule."""
+    n_hashes = n_bands * rows_per_band
     keyed = _materialize_keyed(
         _ensure_parallelism(docs).select(
             F.col(id_col).alias("id"),
             F.array_distinct(ws_tokens(F.lower(F.col(text_col)))).alias("toks"),
-            *[minhash_key(F.col(text_col), s).alias(f"mh{s}") for s in range(n_bands)],
+            *[minhash_key(F.col(text_col), s).alias(f"mh{s}") for s in range(n_hashes)],
         )
     )
     # one row per (doc, band) via explode — band hashes computed once per doc
-    # (materialized above), not once per union branch
+    # (materialized above), not once per union branch. F.concat propagates
+    # null (empty-token doc → null minhash → null key → drops out of the
+    # equi-joins below), unlike concat_ws which would skip it.
     band_keys = F.array(
-        *[F.concat(F.lit(f"{s}:"), F.col(f"mh{s}")) for s in range(n_bands)]
+        *[
+            F.concat(
+                F.lit(f"{b}:"),
+                *_intersperse(
+                    [F.col(f"mh{b * rows_per_band + j}") for j in range(rows_per_band)]
+                ),
+            )
+            for b in range(n_bands)
+        ]
     )
     bands = keyed.select("id", F.explode(band_keys).alias("band_key"))
-    l = bands.select("band_key", F.col("id").alias("left_id"))
-    r = bands.select("band_key", F.col("id").alias("right_id"))
-    cand = (
+    sizes = bands.groupBy("band_key").agg(F.count("*").alias("block_n"))
+    big_keys = sizes.filter(F.col("block_n") > max_block_size).select("band_key")
+    small = bands.join(F.broadcast(big_keys), "band_key", "left_anti")
+    l = small.select("band_key", F.col("id").alias("left_id"))
+    r = small.select("band_key", F.col("id").alias("right_id"))
+    cand_small = (
         l.join(r, "band_key")
         .filter(F.col("left_id") < F.col("right_id"))
         .select("left_id", "right_id")
-        .distinct()
     )
+    big_rows = bands.join(F.broadcast(big_keys), "band_key", "semi")
+    reps = big_rows.groupBy("band_key").agg(F.min("id").alias("left_id"))
+    cand_big = (
+        big_rows.join(F.broadcast(reps), "band_key")
+        .filter(F.col("id") != F.col("left_id"))
+        .select("left_id", F.col("id").alias("right_id"))
+    )
+    cand = cand_small.unionByName(cand_big).distinct()
     lt = keyed.select(F.col("id").alias("left_id"), F.col("toks").alias("ltoks"))
     rt = keyed.select(F.col("id").alias("right_id"), F.col("toks").alias("rtoks"))
     verified = (
@@ -254,6 +307,16 @@ def ngram_jaccard_pairs(
     return pairs
 
 
+def _intersperse(cols: list):
+    """[c0, c1, …] → [c0, ':', c1, ':', …] for null-propagating F.concat."""
+    out = []
+    for i, c in enumerate(cols):
+        if i:
+            out.append(F.lit(":"))
+        out.append(c)
+    return out
+
+
 def _seeded_md5_factory(seed: int):
     # single-arg lambda factory (a default-arg closure would bind a second
     # higher-order-function lambda variable — see normalize/textstats note)
@@ -266,12 +329,25 @@ def embedding_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_col: str = "label",
-) -> DataFrame:
+    max_block_size: int = 10_000,
+    return_dropped: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Embedding-cosine near-dup pairs within coarse blocks (e.g. an IVF
     cell / cluster label): cosine ≥ threshold. Cosine is computed with
     built-in array expressions (zip_with + aggregate) — JVM-side, no UDF.
 
-    Returns (left_id, right_id, cosine)."""
+    Blocks larger than ``max_block_size`` are dropped and reported (same
+    drop-and-report contract as ngram_jaccard_pairs / blocking): an
+    oversized IVF cell is NOT a dup cluster — its members need not be
+    mutually similar — so star/chain linking would silently lose real
+    pairs; the right response at scale is re-clustering that cell finer,
+    which the dropped-block report tells the caller to do. The cap bounds
+    within-block work at C(cap, 2)·dim per cell. The dropped-key list is
+    ≤ corpus/cap rows by construction → broadcast the exception, never the
+    rule.
+
+    Returns (left_id, right_id, cosine), plus a dropped-block metrics frame
+    (block key + size) when ``return_dropped``."""
     def norm(c):
         return F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x))
 
@@ -283,17 +359,23 @@ def embedding_dup_pairs(
             norm(F.col(vec_col)).alias("nrm"),
         )
     )
-    l = keyed.select("bk", F.col("id").alias("left_id"), F.col("v").alias("lv"), F.col("nrm").alias("ln"))
-    r = keyed.select("bk", F.col("id").alias("right_id"), F.col("v").alias("rv"), F.col("nrm").alias("rn"))
+    sizes = keyed.groupBy("bk").agg(F.count("*").alias("block_n"))
+    dropped = sizes.filter(F.col("block_n") > max_block_size)
+    ok = keyed.join(F.broadcast(dropped.select("bk")), "bk", "left_anti")
+    l = ok.select("bk", F.col("id").alias("left_id"), F.col("v").alias("lv"), F.col("nrm").alias("ln"))
+    r = ok.select("bk", F.col("id").alias("right_id"), F.col("v").alias("rv"), F.col("nrm").alias("rn"))
     dot = F.aggregate(
         F.zip_with("lv", "rv", lambda a, b: a.cast("double") * b.cast("double")),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    return (
+    pairs = (
         l.join(r, "bk")
         .filter(F.col("left_id") < F.col("right_id"))
         .withColumn("cosine", dot / (F.col("ln") * F.col("rn")))
         .filter(F.col("cosine") >= threshold)
         .select("left_id", "right_id", "cosine")
     )
+    if return_dropped:
+        return pairs, dropped
+    return pairs

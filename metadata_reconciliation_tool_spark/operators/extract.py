@@ -131,15 +131,33 @@ def distinct_entities(entities: DataFrame) -> DataFrame:
     SimpleCache hit path (reconciliation_engine.py:354-362): compute each
     distinct (norm_name, entity_type) once, join results back to mentions.
 
-    Deterministic representative row via row_number over explicit ordering
-    (never dropDuplicates where order matters — SURVEY.md §7.5)."""
-    from pyspark.sql import Window as W
+    Deterministic representative row: the min (conv_id, turn_idx, name) per
+    key (never dropDuplicates where order matters — SURVEY.md §7.5).
 
-    w = W.partitionBy("entity_key").orderBy("conv_id", "turn_idx", "name")
-    return (
-        entities.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+    Skew-safe by aggregation, not window: a row_number window partitioned by
+    entity_key routes EVERY mention of a hot key (a celebrity entity across
+    10¹² turns) through one task's sort; groupBy + min/min_by instead get
+    map-side partial aggregation, so a hot key collapses to one row per map
+    task before the shuffle. Determinism note: carried columns (norm_name,
+    entity_type, context) are constant per entity_key by construction
+    (entity_key = md5(norm_name:entity_type); context a literal), so
+    min_by ties cannot diverge."""
+    order = F.struct("conv_id", "turn_idx", "name")
+    carried = [
+        c
+        for c in entities.columns
+        if c not in ("entity_key", "conv_id", "turn_idx", "name")
+    ]
+    agg = entities.groupBy("entity_key").agg(
+        F.min(order).alias("__o"),
+        *[F.min_by(c, order).alias(c) for c in carried],
+    )
+    return agg.select(
+        "entity_key",
+        F.col("__o.conv_id").alias("conv_id"),
+        F.col("__o.turn_idx").alias("turn_idx"),
+        F.col("__o.name").alias("name"),
+        *carried,
     )
 
 

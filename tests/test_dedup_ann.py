@@ -48,6 +48,53 @@ def test_minhash_finds_planted_near_dup(docs):
     assert not any(5 in p for p in pairs)  # the french doc matches nothing
 
 
+def test_minhash_oversized_bucket_star_linked(spark):
+    """A mega-dup cluster larger than max_block_size must produce O(n) star
+    pairs against the min-id representative — never the C(n,2) within-bucket
+    blow-up — while keeping every member connected for downstream CC."""
+    from metadata_reconciliation_tool_spark.operators.clustering import (
+        connected_components,
+    )
+    from metadata_reconciliation_tool_spark.operators.dedup import minhash_lsh_pairs
+
+    n = 40
+    rows = [(i, "same boilerplate text repeated everywhere", "en", "s0") for i in range(n)]
+    rows.append((n, "an unrelated document about something else entirely", "en", "s0"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+
+    pairs = minhash_lsh_pairs(docs, max_block_size=10)
+    got = {(r.left_id, r.right_id) for r in pairs.collect()}
+    # star: exactly n-1 pairs, all anchored at the min id
+    assert got == {(0, i) for i in range(1, n)}
+    # connectivity preserved: one component containing all n members
+    edges = pairs.select(
+        F.col("left_id").cast("string").alias("left_key"),
+        F.col("right_id").cast("string").alias("right_key"),
+    )
+    comp = connected_components(edges)
+    assert {r.cluster_id for r in comp.collect()} == {"0"}
+    # below the cap the same input produces all C(n,2) pairs
+    full = minhash_lsh_pairs(docs, max_block_size=1000)
+    assert full.count() == n * (n - 1) // 2
+
+
+def test_embedding_dedup_drops_oversized_cell(spark):
+    """An IVF cell above max_block_size is dropped AND reported (not
+    star-linked — cell members need not be mutually similar), while cells
+    below the cap still produce their pairs."""
+    from metadata_reconciliation_tool_spark.operators.dedup import embedding_dup_pairs
+
+    hot = [(i, [1.0, 0.0], "hot") for i in range(8)]
+    cold = [(100, [0.0, 1.0], "cold"), (101, [0.0, 1.0], "cold")]
+    emb = spark.createDataFrame(hot + cold, ["vec_id", "embedding", "label"])
+
+    pairs, dropped = embedding_dup_pairs(emb, max_block_size=5, return_dropped=True)
+    d = {r.bk: r.block_n for r in dropped.collect()}
+    assert d == {"hot": 8}
+    got = {(r.left_id, r.right_id) for r in pairs.collect()}
+    assert got == {(100, 101)}
+
+
 def test_simhash_hamming_bounds(docs):
     from metadata_reconciliation_tool_spark.operators.dedup import simhash_dedup_pairs
 
