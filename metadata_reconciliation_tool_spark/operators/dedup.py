@@ -58,8 +58,12 @@ def _keep_min_id_per_key(docs: DataFrame, key, id_col: str) -> DataFrame:
     map-side partial aggregation — a hot group collapses to one row per map
     task before the shuffle — and the representative fetch joins on the
     composite (key, id) pair, which is skew-free by construction (ids are
-    unique, so no composite key repeats)."""
-    with_key = docs.withColumn("__k", key)
+    unique, so no composite key repeats).
+
+    Null keys (null text) coalesce to a sentinel so they form one group like
+    any other — a bare equi-join would silently drop them (null never equals
+    null), where the old window kept one representative."""
+    with_key = docs.withColumn("__k", F.coalesce(key, F.lit("\x00null")))
     reps = with_key.groupBy("__k").agg(F.min(id_col).alias(id_col))
     return with_key.join(reps, ["__k", id_col], "semi").drop("__k")
 

@@ -39,6 +39,19 @@ def test_fingerprint_dedup_collapses_reorder(docs):
     assert 3 not in ids and 0 in ids
 
 
+def test_exact_dedup_null_text_keeps_one(spark):
+    """Null-text rows form one dedup group (sentinel key) — an equi-join on
+    the raw md5 key would silently drop them all (null ≠ null)."""
+    from metadata_reconciliation_tool_spark.operators.dedup import exact_dedup
+
+    d = spark.createDataFrame(
+        [(0, None), (1, None), (2, "real text")],
+        ["doc_id", "text"],
+    )
+    ids = sorted(r.doc_id for r in exact_dedup(d).collect())
+    assert ids == [0, 2]
+
+
 def test_minhash_finds_planted_near_dup(docs):
     from metadata_reconciliation_tool_spark.operators.dedup import minhash_lsh_pairs
 

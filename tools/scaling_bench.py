@@ -31,6 +31,7 @@ def run_bench(cpus: int, sf_dir: str) -> dict:
         SPARK_GRAFT_CPUS=str(cpus),
         SPARK_GRAFT_SF_DIR=sf_dir,
         SPARK_GRAFT_RECON_ONLY="1",
+        SPARK_GRAFT_BENCH_RUNS="1",  # repeats handled at this level (best_of)
         SPARK_GRAFT_BENCH_ENTITIES=ENTITIES,
         SPARK_GRAFT_BENCH_CONVS=CONVS,
     )
