@@ -46,6 +46,8 @@ HEADLINE = [
     "dedup_exact",
     "dedup_simhash",
     "dedup_minhash_lsh",
+    "multisource_best_match",
+    "multimodal_wav_features",
     "text_quality",
     "text_token_counts",
     "text_langid",
