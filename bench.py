@@ -125,9 +125,12 @@ def main() -> None:
         cfg = ReconConfig(
             job_id=f"bench{i}", work_dir=work, force=True, collect_metrics=False
         )
+        pipe = ReconPipeline(spark, cfg)
         t0 = time.time()
-        out = ReconPipeline(spark, cfg).run(transcripts, dictionary)
+        out = pipe.run(transcripts, dictionary)
         runs.append(time.time() - t0)
+        if len(runs) == 1 or runs[-1] < min(runs[:-1]):
+            extra["stage_walls"] = dict(pipe.stage_walls)
         if i == 0:
             scored = out["dict_scores"].count() + out["self_scores"].count()
     recon_sec = min(runs)

@@ -55,6 +55,9 @@ class ReconPipeline:
         self.spark = spark
         self.cfg = cfg
         self._metrics_rows: list[tuple[str, str, str, float]] = []
+        # wall seconds per computed stage (resume read-backs not recorded) —
+        # free observability: no extra Spark jobs, just driver-side clocks
+        self.stage_walls: dict[str, float] = {}
 
     # -- stage plumbing ------------------------------------------------------
 
@@ -62,14 +65,19 @@ class ReconPipeline:
         return os.path.join(self.cfg.work_dir, self.cfg.job_id, f"stage_{stage}")
 
     def _run_stage(self, stage: str, compute, partition_by=None) -> DataFrame:
+        import time
+
         path = self._path(stage)
         if not self.cfg.force and W.stage_exists(self.spark, path):
             return W.read_stage(self.spark, path)
+        t0 = time.monotonic()
         df = compute()
         W.write_stage(df, path, partition_by)
+        self.stage_walls[stage] = round(time.monotonic() - t0, 3)
         out = W.read_stage(self.spark, path)
         if self.cfg.collect_metrics:
             self._metric(stage, "rows", float(out.count()))
+            self._metric(stage, "wall_sec", self.stage_walls[stage])
         return out
 
     def _metric(self, stage: str, metric: str, value: float) -> None:
