@@ -1538,6 +1538,7 @@ def _simhash_oracle_sql() -> str:
         f"      SELECT doc_id, sh, '{part}:' || substring(sh, {part * 16 + 1}, 16) AS bk FROM s"
         for part in range(4)
     )
+    cap = 1000  # operators/dedup.py:simhash_dedup_pairs max_block_size default
     return f"""
     WITH t AS (
       SELECT doc_id, list_transform(
@@ -1548,9 +1549,25 @@ def _simhash_oracle_sql() -> str:
       SELECT doc_id, {bit_terms} AS sh FROM t
     ), quarters AS (
 {quarters}
+    ), bsz AS (
+      SELECT bk, count(*) AS block_n FROM quarters GROUP BY bk
+    ), qsmall AS (
+      SELECT q.doc_id, q.sh, q.bk FROM quarters q JOIN bsz ON q.bk = bsz.bk
+      WHERE bsz.block_n <= {cap}
+    ), qbig AS (
+      SELECT q.doc_id, q.sh, q.bk FROM quarters q JOIN bsz ON q.bk = bsz.bk
+      WHERE bsz.block_n > {cap}
+    ), reps AS (
+      SELECT bk, min(doc_id) AS rep_id, min_by(sh, doc_id) AS rep_sh
+      FROM qbig GROUP BY bk
     ), cand AS (
-      SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id, a.sh AS lsh, b.sh AS rsh
-      FROM quarters a JOIN quarters b ON a.bk = b.bk AND a.doc_id < b.doc_id
+      SELECT DISTINCT left_id, right_id, lsh, rsh FROM (
+        SELECT a.doc_id AS left_id, b.doc_id AS right_id, a.sh AS lsh, b.sh AS rsh
+        FROM qsmall a JOIN qsmall b ON a.bk = b.bk AND a.doc_id < b.doc_id
+        UNION ALL
+        SELECT r.rep_id, b.doc_id, r.rep_sh, b.sh
+        FROM qbig b JOIN reps r ON b.bk = r.bk WHERE b.doc_id <> r.rep_id
+      )
     )
     SELECT left_id, right_id, CAST(ham AS INT) AS hamming FROM (
       SELECT left_id, right_id, ({ham_terms}) AS ham FROM cand

@@ -174,6 +174,7 @@ def simhash_dedup_pairs(
     max_hamming: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_block_size: int = 1000,
 ) -> DataFrame:
     """SimHash near-dup pairs: 64-bit simhash, block on the four 16-bit
     quarters. Pigeonhole: a pair within Hamming ≤ 3 of a 64-bit code has at
@@ -183,9 +184,14 @@ def simhash_dedup_pairs(
     scheme over-promised Hamming ≤ 2). Verify Hamming ≤ max_hamming within
     buckets only.
 
-    Scale: 4 × 65,536 buckets — bucket population stays ~N/2¹⁶ per quarter,
-    so within-bucket candidate generation stays near-linear in corpus size
-    (vs round-1's 512-bucket O(N²/512)).
+    Scale: 4 × 65,536 buckets — bucket population stays ~N/2¹⁶ per quarter.
+    That divisor is FIXED, so with no cap candidate generation is still
+    O(N²/2¹⁸) as the corpus outgrows the key space; buckets larger than
+    ``max_block_size`` (a mega-dup shard: near-identical docs share whole
+    quarters) are therefore STAR-linked against the bucket's min-id member —
+    O(n) pairs, connectivity preserved; exactness of the pigeonhole
+    guarantee then holds between a starred member and its representative
+    only (the same documented trade as minhash_lsh_pairs).
 
     Returns (left_id, right_id, hamming)."""
     from ..functions.textstats import hamming_bitstring
@@ -213,14 +219,29 @@ def simhash_dedup_pairs(
         ]
     )
     q = keyed.select("id", "sh", F.explode(quarter_keys).alias("bk"))
-    l = q.select("bk", F.col("id").alias("left_id"), F.col("sh").alias("lsh"))
-    r = q.select("bk", F.col("id").alias("right_id"), F.col("sh").alias("rsh"))
-    cand = (
+    sizes = q.groupBy("bk").agg(F.count("*").alias("block_n"))
+    big_keys = sizes.filter(F.col("block_n") > max_block_size).select("bk")
+    small = q.join(F.broadcast(big_keys), "bk", "left_anti")
+    l = small.select("bk", F.col("id").alias("left_id"), F.col("sh").alias("lsh"))
+    r = small.select("bk", F.col("id").alias("right_id"), F.col("sh").alias("rsh"))
+    cand_small = (
         l.join(r, "bk")
         .filter(F.col("left_id") < F.col("right_id"))
         .select("left_id", "right_id", "lsh", "rsh")
-        .distinct()
     )
+    big_rows = q.join(F.broadcast(big_keys), "bk", "semi")
+    reps = big_rows.groupBy("bk").agg(F.min(F.struct("id", "sh")).alias("rep"))
+    cand_big = (
+        big_rows.join(F.broadcast(reps), "bk")
+        .filter(F.col("id") != F.col("rep.id"))
+        .select(
+            F.col("rep.id").alias("left_id"),
+            F.col("id").alias("right_id"),
+            F.col("rep.sh").alias("lsh"),
+            F.col("sh").alias("rsh"),
+        )
+    )
+    cand = cand_small.unionByName(cand_big).distinct()
     return (
         cand.withColumn("hamming", hamming_bitstring(F.col("lsh"), F.col("rsh")))
         .filter(F.col("hamming") <= max_hamming)

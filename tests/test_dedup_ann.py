@@ -108,6 +108,22 @@ def test_embedding_dedup_drops_oversized_cell(spark):
     assert got == {(100, 101)}
 
 
+def test_simhash_oversized_bucket_star_linked(spark):
+    """Identical-text docs share every quarter key; above max_block_size the
+    bucket must star-link to the min id (O(n) hamming-0 pairs), not emit
+    C(n,2)."""
+    from metadata_reconciliation_tool_spark.operators.dedup import simhash_dedup_pairs
+
+    n = 30
+    rows = [(i, "boilerplate text shared by every mirror of this page", "en", "s0") for i in range(n)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+
+    got = {(r.left_id, r.right_id): r.hamming for r in simhash_dedup_pairs(docs, max_block_size=10).collect()}
+    assert got == {(0, i): 0 for i in range(1, n)}
+    full = simhash_dedup_pairs(docs, max_block_size=1000)
+    assert full.count() == n * (n - 1) // 2
+
+
 def test_simhash_hamming_bounds(docs):
     from metadata_reconciliation_tool_spark.operators.dedup import simhash_dedup_pairs
 
