@@ -425,12 +425,18 @@ def batteries_udf(s1: pd.Series, s2: pd.Series) -> pd.DataFrame:
     another JVM↔Python transfer of every pair, and in local mode another
     oversubscribed Python worker per core. (Token-set Levenshtein moved to
     the JVM built-in `levenshtein` — see operators/scoring.py.)"""
-    return pd.DataFrame(
-        {
-            "jaro_winkler": [jaro_winkler_py(a or "", b or "") for a, b in zip(s1, s2)],
-            "name_align": [name_align_py(a, b) for a, b in zip(s1, s2)],
-        }
-    )
+    n = len(s1)
+    jw = [1.0] * n
+    al = [1.0] * n
+    for i, (a, b) in enumerate(zip(s1, s2)):
+        if a == b and a:
+            # identical non-empty strings: both kernels return exactly 1.0
+            # (pinned by test) — skip them. Exact-duplicate mentions are a
+            # meaningful share of blocked pairs, and this is the hot path.
+            continue
+        jw[i] = jaro_winkler_py(a or "", b or "")
+        al[i] = name_align_py(a, b)
+    return pd.DataFrame({"jaro_winkler": jw, "name_align": al})
 
 
 def surname_key_py(norm_name: str) -> str:

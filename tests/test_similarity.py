@@ -107,3 +107,29 @@ def test_lsh_and_surname_udf_twin_parity(spark):
     for r in rows:
         assert list(r.lsh) == lsh_keys_py(r.n)
         assert r.sk == surname_key_py(r.n)
+
+
+def test_batteries_udf_equal_fast_path_parity(spark):
+    """batteries_udf short-circuits identical non-empty strings to exactly
+    (1.0, 1.0); every case — equal, unequal, empty-empty, one-empty — must
+    equal the raw per-row kernels."""
+    from metadata_reconciliation_tool_spark.functions.similarity import (
+        batteries_udf,
+        jaro_winkler_py,
+        name_align_py,
+    )
+
+    cases = [
+        ("john smith", "john smith"),
+        ("john smith", "jon smith"),
+        ("dr maria de la cruz", "dr maria de la cruz"),
+        ("", ""),
+        ("", "john smith"),
+        ("a", "a"),
+        ("x y", "y x"),
+    ]
+    df = spark.createDataFrame(cases, "a string, b string")
+    rows = df.select("a", "b", batteries_udf(F.col("a"), F.col("b")).alias("t")).collect()
+    for r in rows:
+        assert r.t.jaro_winkler == jaro_winkler_py(r.a or "", r.b or "")
+        assert r.t.name_align == name_align_py(r.a, r.b)
