@@ -122,6 +122,10 @@ def main() -> None:
     runs: list[float] = []
     scored = 0
     for i in range(max(1, n_runs)):
+        if i > 0 and runs[0] > 300:
+            # first run already slow (contended host): a repeat is likely
+            # equally slow and risks the harness timeout — record what we have
+            break
         cfg = ReconConfig(
             job_id=f"bench{i}", work_dir=work, force=True, collect_metrics=False
         )
