@@ -120,15 +120,27 @@ def srp_lsh_topk(
         n_planes = derive_n_planes(corpus.count(), target_bucket_size)
     q = queries.select(F.col(q_id).alias("query_id"), F.col(q_vec).alias("qv"))
     c = corpus.select(F.col(c_id).alias("neighbor_id"), F.col(c_vec).alias("cv"))
-    cand = None
-    for t in range(n_tables):
-        planes = _srp_planes(dim, n_planes, t)
-        qb = q.withColumn("bk", F.concat(F.lit(f"{t}:"), srp_bucket(F.col("qv"), planes)))
-        cb = c.withColumn("bk", F.concat(F.lit(f"{t}:"), srp_bucket(F.col("cv"), planes)))
-        j = qb.join(cb, "bk").select("query_id", "qv", "neighbor_id", "cv")
-        cand = j if cand is None else cand.unionByName(j)
-    cand = cand.filter(F.col("query_id") != F.col("neighbor_id")).dropDuplicates(
-        ["query_id", "neighbor_id"]
+    # ONE pass per side: all n_tables bucket keys in a single projection,
+    # exploded to (row, table-key) — the per-table union-of-joins shape
+    # rescanned the corpus n_tables times (1 scan vs 4 at 10⁹ rows). The
+    # candidate set is identical: union over tables ≡ explode over tables.
+    all_planes = [_srp_planes(dim, n_planes, t) for t in range(n_tables)]
+
+    def keys_for(vec: F.Column) -> F.Column:
+        return F.array(
+            *[
+                F.concat(F.lit(f"{t}:"), srp_bucket(vec, all_planes[t]))
+                for t in range(n_tables)
+            ]
+        )
+
+    qk = q.select("query_id", "qv", F.explode(keys_for(F.col("qv"))).alias("bk"))
+    ck = c.select("neighbor_id", "cv", F.explode(keys_for(F.col("cv"))).alias("bk"))
+    cand = (
+        qk.join(ck, "bk")
+        .select("query_id", "qv", "neighbor_id", "cv")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     scored = cand.withColumn("cosine", cosine(F.col("qv"), F.col("cv")))
     w = Window.partitionBy("query_id").orderBy(
