@@ -77,6 +77,14 @@ def main() -> None:
     }
     print(json.dumps(summary))
     pairs = lo["scored_pairs"]
+    # replace ONLY the scaling section; keep everything from
+    # "## Per-round bench" down (round-note sections are appended there)
+    try:
+        tail = open("BENCH.md").read()
+        idx = tail.index("## Per-round bench")
+        tail = tail[idx:]
+    except (OSError, ValueError):
+        tail = "## Per-round bench\n"
     with open("BENCH.md", "w") as f:
         f.write(f"""# BENCH — measured results (this sandbox)
 
@@ -119,13 +127,8 @@ serial floor that vanishes at scale.
 Reproduce: `python tools/scaling_bench.py {n} {sf_dir} {repeats}`
 (input size via SPARK_GRAFT_BENCH_ENTITIES / SPARK_GRAFT_BENCH_CONVS).
 
-## Per-round bench
-
-`python bench.py` (driver contract) runs the reconciliation pipeline at the
-sf-scaled input plus the headline relational / training-data queries at
-$SPARK_GRAFT_SF_DIR, printing one JSON line; see BENCH_r*.json for the
-recorded per-round numbers.
 """)
+        f.write(tail)
 
 
 if __name__ == "__main__":
