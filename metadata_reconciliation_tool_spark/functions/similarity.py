@@ -429,10 +429,13 @@ def batteries_udf(s1: pd.Series, s2: pd.Series) -> pd.DataFrame:
     jw = [1.0] * n
     al = [1.0] * n
     for i, (a, b) in enumerate(zip(s1, s2)):
-        if a == b and a:
-            # identical non-empty strings: both kernels return exactly 1.0
-            # (pinned by test) — skip them. Exact-duplicate mentions are a
-            # meaningful share of blocked pairs, and this is the hot path.
+        if a == b and a and any(t not in _TITLES for t in a.split()):
+            # identical strings with ≥1 non-title token: both kernels return
+            # exactly 1.0 (pinned by test) — skip them. Exact-duplicate
+            # mentions are a meaningful share of blocked pairs, and this is
+            # the hot path. Title-only ('dr'↔'dr') and whitespace-only
+            # identical strings fall through: name_align_py strips titles
+            # first and returns 0.0 for them, not 1.0.
             continue
         jw[i] = jaro_winkler_py(a or "", b or "")
         al[i] = name_align_py(a, b)

@@ -110,11 +110,35 @@ class IncrementalRecon:
         rows added per stage plus the refreshed cluster assignment.
 
         ``batch_id`` defaults to ``b<n_committed>`` — a crashed (uncommitted)
-        ingest reuses the same id on rerun and overwrites its leftovers."""
+        ingest reuses the same id on rerun and overwrites its leftovers.
+
+        Redelivery guard (exactly-once effect from an at-least-once
+        channel): if this batch_id is ALREADY committed — e.g. the streaming
+        checkpoint crashed after ``_COMMITTED`` landed but before the
+        checkpoint advanced, so foreachBatch redelivers the batch — ingest
+        is a no-op that returns the stored result. Without the guard,
+        ``_read_state`` would include the batch's own committed rows, the
+        seen-key anti-join would make the delta empty, and the overwrite
+        would replace the committed dirs with empty frames — permanent state
+        loss. Clusters are still healed if the crash also preceded the
+        cluster refresh (the reflect sidecar records what they cover)."""
         spark = self.spark
         if batch_id is None:
             batch_id = f"b{len(self.committed_batches())}"
         bdir = self._batch_dir(batch_id)
+
+        if os.path.exists(os.path.join(bdir, COMMIT_MARKER)):
+            committed = self.committed_batches()
+            reflected = self._clusters_reflect()
+            if reflected is None or set(committed) != set(reflected):
+                self._refresh_clusters(committed)
+            return {
+                "new_entities": spark.read.parquet(
+                    os.path.join(bdir, "entities_distinct")
+                ),
+                "new_scores": spark.read.parquet(os.path.join(bdir, "scoring")),
+                "clusters": spark.read.parquet(self._stage("clusters")),
+            }
 
         old_distinct = self._read_state("entities_distinct")
 
@@ -151,16 +175,29 @@ class IncrementalRecon:
             fh.write("")
 
         # refresh clusters — derived state, rebuilt after commit (safe to
-        # lose: recomputable from the log). The prior assignment compresses
-        # each old component to star edges (member → cluster_id, one edge
-        # per node), so CC runs over prior-stars ∪ this batch's match edges
-        # instead of every match edge ever scored: connectivity is preserved
-        # (stars keep each old component connected; cluster ids are min
-        # member keys, and CC re-derives the min over any merged component),
-        # and CC input stays O(corpus nodes + batch edges), not O(all edges).
+        # lose: recomputable from the log). See _refresh_clusters.
+        committed = self.committed_batches()  # includes this batch now
+        self._refresh_clusters(committed)
+
+        return {
+            "new_entities": new_distinct,
+            "new_scores": new_scores,
+            "clusters": spark.read.parquet(self._stage("clusters")),
+        }
+
+    def _refresh_clusters(self, committed: list[str]) -> None:
+        """Rebuild the clusters stage to reflect all ``committed`` batches.
+
+        The prior assignment compresses each old component to star edges
+        (member → cluster_id, one edge per node), so CC runs over
+        prior-stars ∪ the unreflected batches' match edges instead of every
+        match edge ever scored: connectivity is preserved (stars keep each
+        old component connected; cluster ids are min member keys, and CC
+        re-derives the min over any merged component), and CC input stays
+        O(corpus nodes + batch edges), not O(all edges)."""
+        spark = self.spark
         clusters_path = self._stage("clusters")
         reflected = self._clusters_reflect()
-        committed = self.committed_batches()  # includes this batch now
         if W.stage_exists(spark, clusters_path) and reflected is not None:
             # star edges preserve each prior component's connectivity with
             # one edge per node; add match edges of every committed batch
@@ -194,9 +231,3 @@ class IncrementalRecon:
         clusters = C.assign_clusters(all_distinct, comps)
         W.write_stage(clusters, clusters_path)
         self._write_clusters_reflect(committed)
-
-        return {
-            "new_entities": new_distinct,
-            "new_scores": new_scores,
-            "clusters": spark.read.parquet(self._stage("clusters")),
-        }

@@ -19,15 +19,33 @@ from pyspark.sql import functions as F
 
 
 def _is_table_identifier(path: str) -> bool:
-    """Heuristic shared by all stage I/O: filesystem paths contain '/',
-    Iceberg targets are dotted table identifiers (catalog.db.table)."""
-    return "/" not in path
+    """Heuristic shared by all stage I/O: Iceberg targets are dotted
+    multi-segment table identifiers (catalog.db.table); anything with a
+    '/' — or a bare single segment like ``out``, which is a relative
+    filesystem path — is a path."""
+    return "/" not in path and path.count(".") >= 2
 
 
-def iceberg_available(spark: SparkSession) -> bool:
+# Probe result per SparkSession (keyed by id — sessions are long-lived and
+# few). The probe issues blocking `SHOW NAMESPACES` SQL round-trips, so
+# running it on EVERY write_stage(fmt=None) call would put one or more
+# driver-side catalog queries in front of each stage write.
+_ICEBERG_PROBE_CACHE: dict[int, bool] = {}
+
+
+def iceberg_available(spark: SparkSession, refresh: bool = False) -> bool:
     """Probe for a usable Iceberg catalog: some ``spark.sql.catalog.<name>``
     conf points at an Iceberg implementation AND the class actually loads
-    (config without the runtime jar raises on first use)."""
+    (config without the runtime jar raises on first use). Cached per
+    SparkSession — pass ``refresh=True`` after reconfiguring catalogs."""
+    key = id(spark)
+    if not refresh and key in _ICEBERG_PROBE_CACHE:
+        return _ICEBERG_PROBE_CACHE[key]
+    _ICEBERG_PROBE_CACHE[key] = _probe_iceberg(spark)
+    return _ICEBERG_PROBE_CACHE[key]
+
+
+def _probe_iceberg(spark: SparkSession) -> bool:
     try:
         confs = spark.sparkContext.getConf().getAll()
     except Exception:  # pragma: no cover - session without a live context

@@ -182,3 +182,97 @@ def test_incremental_crash_recovery_reingests_partial_batch(spark, bundle, tmp_p
     got = {r.entity_key: r.cluster_id for r in out2["clusters"].collect()}
     assert got == clean_clusters
     assert out2["new_scores"].count() > 0  # scores re-ingested, not lost
+
+
+def test_redelivery_of_committed_batch_is_noop(spark, bundle, tmp_path):
+    """ADVICE r02 (high): re-calling ingest_batch with an ALREADY-committed
+    batch_id (streaming redelivery after a crash between _COMMITTED and the
+    checkpoint advancing) must be a no-op — round 2 recomputed an empty
+    delta and overwrote the committed dirs with empty frames."""
+    import hashlib
+    import os
+
+    from metadata_reconciliation_tool_spark.plans.incremental import IncrementalRecon
+    from metadata_reconciliation_tool_spark.plans.pipeline import (
+        ReconConfig,
+        ReconPipeline,
+    )
+
+    t = bundle["transcripts"]
+    batch1 = t.filter(F.crc32(F.col("conv_id")) % 2 == 0)
+    batch2 = t.filter(F.crc32(F.col("conv_id")) % 2 == 1)
+
+    work = str(tmp_path / "inc")
+    cfg = ReconConfig(job_id="j", work_dir=work, force=True, collect_metrics=False)
+    ReconPipeline(spark, cfg).run(batch1, bundle["dictionary"])
+
+    inc = IncrementalRecon(spark, work, "j")
+    out1 = inc.ingest_batch(batch2, bundle["dictionary"], batch_id="s000001")
+    n_entities = out1["new_entities"].count()
+    n_scores = out1["new_scores"].count()
+    clusters1 = {r.entity_key: r.cluster_id for r in out1["clusters"].collect()}
+    assert n_entities > 0 and n_scores > 0
+
+    def state_digest() -> str:
+        h = hashlib.sha256()
+        bdir = f"{work}/j/batches/s000001"
+        for sub in ("entities_distinct", "scoring"):
+            for fname in sorted(os.listdir(f"{bdir}/{sub}")):
+                if fname.startswith("."):
+                    continue
+                with open(f"{bdir}/{sub}/{fname}", "rb") as fh:
+                    h.update(fname.encode())
+                    h.update(fh.read())
+        return h.hexdigest()
+
+    before = state_digest()
+
+    # redeliver the SAME committed batch (at-least-once channel)
+    out2 = IncrementalRecon(spark, work, "j").ingest_batch(
+        batch2, bundle["dictionary"], batch_id="s000001"
+    )
+    assert state_digest() == before  # byte-identical state — true no-op
+    assert out2["new_entities"].count() == n_entities
+    assert out2["new_scores"].count() == n_scores
+    clusters2 = {r.entity_key: r.cluster_id for r in out2["clusters"].collect()}
+    assert clusters2 == clusters1
+
+
+def test_redelivery_heals_unreflected_clusters(spark, bundle, tmp_path):
+    """Redelivery of a committed batch whose cluster refresh was lost (crash
+    after _COMMITTED, before the clusters stage) must heal the clusters —
+    the no-op guard may not skip the reflect-sidecar check."""
+    import os
+
+    from metadata_reconciliation_tool_spark.plans.incremental import IncrementalRecon
+    from metadata_reconciliation_tool_spark.plans.pipeline import (
+        ReconConfig,
+        ReconPipeline,
+    )
+
+    t = bundle["transcripts"]
+    batch1 = t.filter(F.crc32(F.col("conv_id")) % 2 == 0)
+    batch2 = t.filter(F.crc32(F.col("conv_id")) % 2 == 1)
+
+    work = str(tmp_path / "inc")
+    cfg = ReconConfig(job_id="j", work_dir=work, force=True, collect_metrics=False)
+    ReconPipeline(spark, cfg).run(batch1, bundle["dictionary"])
+
+    inc = IncrementalRecon(spark, work, "j")
+    out1 = inc.ingest_batch(batch2, bundle["dictionary"], batch_id="s000001")
+    clusters1 = {r.entity_key: r.cluster_id for r in out1["clusters"].collect()}
+
+    # simulate crash-after-commit-before-refresh: roll the reflect sidecar
+    # and clusters back to the bootstrap state
+    os.remove(f"{work}/j/clusters_reflect.json")
+    import shutil
+
+    shutil.rmtree(f"{work}/j/stage_clusters")
+    cfg_rebuild = ReconConfig(job_id="j", work_dir=work, collect_metrics=False)
+    ReconPipeline(spark, cfg_rebuild).run(batch1, bundle["dictionary"])  # resume rebuilds bootstrap clusters only
+
+    out2 = IncrementalRecon(spark, work, "j").ingest_batch(
+        batch2, bundle["dictionary"], batch_id="s000001"
+    )
+    clusters2 = {r.entity_key: r.cluster_id for r in out2["clusters"].collect()}
+    assert clusters2 == clusters1

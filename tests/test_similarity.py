@@ -127,6 +127,11 @@ def test_batteries_udf_equal_fast_path_parity(spark):
         ("", "john smith"),
         ("a", "a"),
         ("x y", "y x"),
+        # identical but title-only / whitespace-only: name_align_py returns
+        # 0.0 (all tokens stripped) — the fast path must NOT claim 1.0
+        ("dr", "dr"),
+        ("mr dr", "mr dr"),
+        ("  ", "  "),
     ]
     df = spark.createDataFrame(cases, "a string, b string")
     rows = df.select("a", "b", batteries_udf(F.col("a"), F.col("b")).alias("t")).collect()

@@ -88,3 +88,46 @@ def test_preview_columns(spark, tmp_path):
     cols, sample = preview_columns(spark, str(p), n=2)
     assert cols == ["x", "y"]
     assert len(sample) == 2
+
+
+def test_table_identifier_heuristic():
+    """ADVICE r02: a bare single segment ('out') is a relative filesystem
+    path, not an Iceberg identifier — only dotted catalog.db.table (no '/')
+    qualifies."""
+    from metadata_reconciliation_tool_spark.sources.writers import (
+        _is_table_identifier,
+    )
+
+    assert _is_table_identifier("catalog.db.table")
+    assert _is_table_identifier("ice.recon.stage_scoring")
+    assert not _is_table_identifier("out")
+    assert not _is_table_identifier("stage_scoring")
+    assert not _is_table_identifier("db.table")  # ambiguous → treated as path
+    assert not _is_table_identifier("/tmp/work/stage_scoring")
+    assert not _is_table_identifier("work/catalog.db.table")
+
+
+def test_iceberg_probe_cached_per_session(spark):
+    """ADVICE r02: the SHOW NAMESPACES probe must run at most once per
+    SparkSession, not once per write_stage call."""
+    from metadata_reconciliation_tool_spark.sources import writers as W
+
+    W._ICEBERG_PROBE_CACHE.pop(id(spark), None)
+    calls = {"n": 0}
+    orig = W._probe_iceberg
+
+    def counting(s):
+        calls["n"] += 1
+        return orig(s)
+
+    W._probe_iceberg = counting
+    try:
+        first = W.iceberg_available(spark)
+        for _ in range(5):
+            assert W.iceberg_available(spark) == first
+        assert calls["n"] == 1
+        W.iceberg_available(spark, refresh=True)
+        assert calls["n"] == 2
+    finally:
+        W._probe_iceberg = orig
+        W._ICEBERG_PROBE_CACHE.pop(id(spark), None)
