@@ -1296,13 +1296,21 @@ def _annl(spark, sf):
     )
 
 
-def _srp_oracle_sql(dim: int = 64, n_planes: int = 8, n_tables: int = 4, k: int = 5) -> str:
+def _srp_oracle_sql(
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    k: int = 5,
+    max_bucket_size: int = 1024,
+) -> str:
     """Generate the DuckDB twin of srp_lsh_topk: the seeded hyperplanes are
     emitted as constant DOUBLE list literals (repr() round-trips float64
     exactly), bucket bit = sign of list_dot_product against each plane, one
-    bucket CTE per table, union of bucket joins, distinct pairs, exact
-    cosine re-rank on round(cos, 6) with neighbor-id tie-break — mirroring
-    the Spark operator term for term."""
+    bucket CTE per table — corpus rows per bucket capped at
+    ``max_bucket_size`` by lowest vec_id (the operator's hot-bucket cap,
+    twinned) — union of bucket joins, distinct pairs, exact cosine re-rank
+    on round(cos, 6) with neighbor-id tie-break — mirroring the Spark
+    operator term for term."""
     from metadata_reconciliation_tool_spark.operators.similarity_search import _srp_planes
 
     table_ctes, cand_selects = [], []
@@ -1315,11 +1323,16 @@ def _srp_oracle_sql(dim: int = 64, n_planes: int = 8, n_tables: int = 4, k: int 
             for row in planes
         )
         table_ctes.append(
-            f"b{t} AS (SELECT vec_id, v, '{t}:' || {bits} AS bk FROM e)"
+            f"raw{t} AS (SELECT vec_id, v, '{t}:' || {bits} AS bk FROM e),\n    "
+            f"b{t} AS (SELECT vec_id, v, bk FROM ("
+            f"SELECT vec_id, v, bk,"
+            f" row_number() OVER (PARTITION BY bk ORDER BY vec_id) AS _rn"
+            f" FROM raw{t}) WHERE _rn <= {max_bucket_size})"
         )
+        # query side probes UNCAPPED (the operator caps only the corpus side)
         cand_selects.append(
             f"SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.v AS qv, c.v AS cv\n"
-            f"       FROM b{t} q JOIN b{t} c ON q.bk = c.bk AND q.vec_id < 10"
+            f"       FROM raw{t} q JOIN b{t} c ON q.bk = c.bk AND q.vec_id < 10"
         )
     cands = "\n      UNION ALL\n      ".join(cand_selects)
     ctes = ",\n    ".join(table_ctes)
@@ -1386,6 +1399,213 @@ def _recon(spark, sf):
     return entry(spark)
 
 
+_RECON_SQL_VARIANT = r"""
+    WITH nc AS (SELECT count(*) AS n FROM customer),
+    turns AS (
+      SELECT substring(d.text, 1, 40) || ' met with ' ||
+             CASE WHEN d.doc_id % 4 = 0 THEN upper(c.c_name)
+                  WHEN d.doc_id % 4 = 1 THEN '[' || c.c_name || ']'
+                  WHEN d.doc_id % 4 = 2 THEN 'Dr. ' || c.c_name
+                  ELSE c.c_name END AS text
+      FROM documents d JOIN customer c
+        ON d.doc_id % (SELECT n FROM nc) = c.c_custkey
+    ),
+    raw0 AS (
+      SELECT 'person' AS entity_type, regexp_extract(text, 'met with (.*)$', 1) AS raw FROM turns
+      UNION ALL
+      SELECT 'organization', regexp_extract(text, 'works at (.*)$', 1) FROM turns
+      UNION ALL
+      SELECT 'place', regexp_extract(text, 'traveled to (.*)$', 1) FROM turns
+    ),
+    splitv AS (
+      SELECT entity_type, UNNEST(
+        CASE WHEN contains(raw, '; ') THEN string_split(raw, '; ')
+             WHEN contains(raw, '|') THEN string_split(raw, '|')
+             WHEN contains(raw, ' and ') THEN string_split(raw, ' and ')
+             WHEN contains(raw, ' & ') THEN string_split(raw, ' & ')
+             ELSE [raw] END) AS value
+      FROM raw0 WHERE raw <> ''
+    ),
+    cleaned0 AS (
+      SELECT entity_type,
+             regexp_replace(regexp_replace(trim(value), '\s+', ' ', 'g'),
+                            '^[\[\(]+|[\]\)]+$', '', 'g') AS c
+      FROM splitv
+    ),
+    cleaned AS (
+      SELECT entity_type, trim(
+        CASE WHEN length(c) >= 2 AND ((c LIKE '"%' AND c LIKE '%"')
+                                      OR (c LIKE '''%' AND c LIKE '%'''))
+             THEN substring(c, 2, length(c) - 2) ELSE c END) AS name
+      FROM cleaned0
+    ),
+    named AS (
+      SELECT entity_type, name,
+             trim(regexp_replace(regexp_replace(lower(name),
+                  '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm_name
+      FROM cleaned
+      WHERE name IS NOT NULL AND trim(name) <> ''
+        AND lower(trim(name)) NOT IN ('nan', 'none') AND length(trim(name)) > 1
+    ),
+    ents AS (
+      SELECT md5(norm_name || ':' || entity_type || ':' || '{}') AS entity_key,
+             min(norm_name) AS norm_name, min(entity_type) AS entity_type
+      FROM named WHERE length(norm_name) > 1
+      GROUP BY md5(norm_name || ':' || entity_type || ':' || '{}')
+    ),
+    ekeyed AS (
+      SELECT *, array_to_string(list_sort(string_split(norm_name, ' ')), ' ') AS ls
+      FROM ents
+    ),
+    dic0 AS (
+      SELECT 'C' || CAST(c_custkey AS VARCHAR) AS auth_id,
+             trim(regexp_replace(regexp_replace(lower(c_name),
+                  '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm_label,
+             'customer in segment ' || lower(c_mktsegment) AS description
+      FROM customer
+    ),
+    dic AS (
+      SELECT *, array_to_string(list_sort(string_split(norm_label, ' ')), ' ') AS rs
+      FROM (SELECT *, row_number() OVER (PARTITION BY norm_label ORDER BY auth_id) AS rn
+            FROM dic0) WHERE rn = 1
+    ),
+    pairs AS (
+      SELECT e.entity_key, e.norm_name, e.ls, d.auth_id, d.norm_label, d.rs, d.description
+      FROM ekeyed e JOIN dic d
+        ON e.entity_type || ':' || substring(e.ls, 1, 6)
+         = 'person' || ':' || substring(d.rs, 1, 6)
+    ),
+    feat AS (
+      SELECT *,
+        jaro_winkler_similarity(ls, rs) AS jw,
+        CASE WHEN ls = '' AND rs = '' THEN 1.0
+             ELSE 1.0 - levenshtein(ls, rs) * 1.0 / greatest(length(ls), length(rs), 1)
+        END AS tlr,
+        list_distinct(string_split(norm_name, ' ')) AS qt,
+        list_distinct(string_split(norm_label, ' ')) AS lt
+      FROM pairs
+    ),
+    wconf AS (
+      SELECT *, CASE
+        WHEN contains(lower(trim(coalesce(description, ''))), norm_name)
+             AND lower(trim(coalesce(description, ''))) <> ''
+        THEN least(wc0 + 0.1, 1.0) ELSE wc0 END AS wc
+      FROM (
+        SELECT *, CASE
+          WHEN norm_name = norm_label THEN 0.95
+          WHEN contains(norm_label, norm_name) OR contains(norm_name, norm_label) THEN
+            CASE WHEN len(qt) > 0 AND len(lt) > 0
+                 THEN 0.5 + (len(list_intersect(qt, lt)) * 1.0 / len(list_distinct(qt || lt))) * 0.4
+                 ELSE 0.7 END
+          ELSE CASE WHEN len(qt) > 0 AND len(lt) > 0
+                 THEN CASE WHEN len(list_intersect(qt, lt)) > 0
+                      THEN 0.3 + (len(list_intersect(qt, lt)) * 1.0 / len(qt)) * 0.4
+                      ELSE 0.2 END
+                 ELSE 0.1 END
+        END AS wc0 FROM feat)
+    ),
+    scored AS (
+      SELECT entity_key, norm_name, auth_id,
+             round(CASE WHEN ls = rs THEN 1.0
+                        ELSE 0.55 * jw + 0.25 * tlr + 0.2 * wc END, 6) AS score
+      FROM wconf
+    )
+    SELECT entity_key, norm_name, auth_id AS best_auth,
+           CAST(score AS DOUBLE) AS best_score
+    FROM (SELECT *, row_number() OVER (PARTITION BY entity_key
+            ORDER BY score DESC, auth_id) AS rnk
+          FROM scored WHERE score > 0.5)
+    WHERE rnk = 1
+    """
+
+
+@_q("recon_best_matches_sql", _RECON_SQL_VARIANT)
+def _recon_sql(spark, sf):
+    """SQL-decomposed flagship variant (round-2 verdict item 6): the same
+    extract → normalize → key → block → score → best-match pipeline shape,
+    restricted to the SQL-expressible component set so the WHOLE chain is
+    value-hash-checked against DuckDB end to end:
+
+    - blocking: prefix pass only (the metaphone and MinHash-LSH passes need
+      Python kernels — they stay covered by the full-kernel flagship's
+      pytest oracle);
+    - scoring: whole-string Jaro-Winkler on the token-sorted forms (DuckDB's
+      ``jaro_winkler_similarity`` is float-parity with ``jaro_winkler_py`` —
+      pinned in test_prefilter.py), token-Levenshtein ratio, and the F7
+      confidence — composite 0.55·jw + 0.25·tlr + 0.20·F7, exact-equality
+      hard 1.0, P6 success bar > 0.5 on the rounded score;
+    - best match: rank-1 per entity, (score desc, auth_id) tie-break.
+
+    The custom ``name_align`` kernel is exactly what this variant swaps out
+    — it remains pytest-oracled via the labeled-pair F1 gate."""
+    from metadata_reconciliation_tool_spark.functions.confidence import (
+        wikidata_confidence,
+    )
+    from metadata_reconciliation_tool_spark.functions.normalize import (
+        normalize_name_expr,
+        token_sort,
+    )
+    from metadata_reconciliation_tool_spark.functions.similarity import (
+        jaro_winkler_udf,
+    )
+    from metadata_reconciliation_tool_spark.operators import extract as E
+
+    ents = E.distinct_entities(E.extract_entities(_derive_transcripts(spark, sf)))
+    ekeyed = ents.select(
+        "entity_key",
+        "norm_name",
+        "entity_type",
+        token_sort(F.col("norm_name")).alias("ls"),
+    ).withColumn(
+        "blk", F.concat_ws(":", F.col("entity_type"), F.substring("ls", 1, 6))
+    )
+    dic0 = _t(spark, sf, "customer").select(
+        F.concat(F.lit("C"), F.col("c_custkey").cast("string")).alias("auth_id"),
+        normalize_name_expr(F.col("c_name")).alias("norm_label"),
+        F.concat(F.lit("customer in segment "), F.lower("c_mktsegment")).alias(
+            "description"
+        ),
+    )
+    wded = Window.partitionBy("norm_label").orderBy("auth_id")
+    dic = (
+        dic0.withColumn("rn", F.row_number().over(wded))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .withColumn("rs", token_sort(F.col("norm_label")))
+        .withColumn("blk", F.concat_ws(":", F.lit("person"), F.substring("rs", 1, 6)))
+    )
+    pairs = ekeyed.join(F.broadcast(dic), "blk")
+    tlr = F.when((F.col("ls") == "") & (F.col("rs") == ""), F.lit(1.0)).otherwise(
+        1.0
+        - F.levenshtein(F.col("ls"), F.col("rs")).cast("double")
+        / F.greatest(F.length("ls"), F.length("rs"), F.lit(1))
+    )
+    wc = wikidata_confidence(
+        F.col("norm_name"), F.col("norm_label"), F.col("description")
+    )
+    score = F.round(
+        F.when(F.col("ls") == F.col("rs"), F.lit(1.0)).otherwise(
+            0.55 * jaro_winkler_udf(F.col("ls"), F.col("rs")) + 0.25 * tlr + 0.2 * wc
+        ),
+        6,
+    )
+    wrank = Window.partitionBy("entity_key").orderBy(
+        F.desc("score"), F.asc("auth_id")
+    )
+    return (
+        pairs.withColumn("score", score)
+        .filter(F.col("score") > 0.5)
+        .withColumn("rnk", F.row_number().over(wrank))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "entity_key",
+            "norm_name",
+            F.col("auth_id").alias("best_auth"),
+            F.col("score").alias("best_score"),
+        )
+    )
+
+
 @_q(
     "dedup_document_clusters",
     "WITH RECURSIVE "
@@ -1440,17 +1660,59 @@ def _ddc(spark, sf):
     )
 
 
-@_q("multimodal_features")
+def _mm_feature_sql(i: int) -> str:
+    """DuckDB recomputation of stub feature[i]: uint32 LE from sha256 digest
+    bytes 4i..4i+3 (hex chars 8i+1..8i+8, byte-swapped), % 1000 / 1000."""
+    o = 8 * i + 1
+    le = " || ".join(f"substring(h, {o + k}, 2)" for k in (6, 4, 2, 0))
+    return f"round((('0x' || {le})::BIGINT % 1000) / 1000.0, 6)"
+
+
+@_q(
+    "multimodal_features",
+    f"""
+    WITH m AS (
+      SELECT CAST(i AS BIGINT) AS media_id,
+             CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+             'payload:' || repeat(md5(CAST(i AS VARCHAR)), 4) AS payload
+      FROM generate_series(0, 63) g(i)
+    ), hashed AS (
+      SELECT media_id, kind, CAST(length(payload) AS INT) AS n_bytes,
+             sha256(payload) AS content_hash, sha256(payload) AS h
+      FROM m
+    )
+    SELECT media_id, kind, n_bytes, content_hash,
+           CAST({_mm_feature_sql(0)} AS DOUBLE) AS feature_0,
+           CAST({_mm_feature_sql(1)} AS DOUBLE) AS feature_1,
+           CAST({_mm_feature_sql(2)} AS DOUBLE) AS feature_2,
+           CAST({_mm_feature_sql(3)} AS DOUBLE) AS feature_3
+    FROM hashed
+    """,
+)
 def _mm(spark, sf):
-    """Binary-column feature extraction via mapInPandas (decode stubbed —
-    deterministic fake; Spark plumbing real)."""
+    """Binary-column feature extraction via mapInPandas. The decode is the
+    documented deterministic stub (sha256-digest-derived) — which makes it
+    fully hash-oracled: DuckDB rebuilds the payload text, recomputes sha256,
+    and re-derives the first feature lanes by hex byte-slicing (uint32 LE %
+    1000 / 1000), so the Arrow plumbing, the hashing, and the feature
+    derivation are all value-checked (round-2 verdict item 7)."""
     from metadata_reconciliation_tool_spark.operators.multimodal import (
         extract_features,
         gen_media,
     )
 
-    return extract_features(gen_media(spark, 64)).select(
-        "media_id", "kind", "n_bytes", "content_hash"
+    out = extract_features(gen_media(spark, 64))
+    return out.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        "content_hash",
+        *[
+            F.round(F.element_at("feature", i + 1).cast("double"), 6).alias(
+                f"feature_{i}"
+            )
+            for i in range(4)
+        ],
     )
 
 
@@ -1494,6 +1756,59 @@ def _mmw(spark, sf):
 
     out = decode_wav_features(gen_wav_media(spark, 64))
     return out.withColumn("rms", F.round("rms", 4))
+
+
+@_q(
+    "multimodal_bmp_features",
+    """
+    WITH ids AS (
+      SELECT CAST(i AS BIGINT) AS media_id,
+             7 + (i % 3) * 3 AS w, 6 + (i % 2) * 2 AS h
+      FROM generate_series(0, 63) g(i)
+    ), px AS (
+      SELECT media_id, w, h, UNNEST(generate_series(0, w * h - 1)) AS p FROM ids
+    ), chan AS (
+      SELECT media_id, w, h, p % w AS x, p // w AS y FROM px
+    ), vals AS (
+      SELECT media_id, w, h,
+             (media_id * 31 + y * 17 + x * 7 + 0) % 256 AS b,
+             (media_id * 31 + y * 17 + x * 7 + 5) % 256 AS g,
+             (media_id * 31 + y * 17 + x * 7 + 10) % 256 AS r
+      FROM chan
+    )
+    SELECT media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(54 + ((w * 3 + 3) // 4) * 4 * h AS INT) AS n_bytes,
+           CAST(round(sum(b) * 1.0 / count(*), 6) AS DOUBLE) AS mean_b,
+           CAST(round(sum(g) * 1.0 / count(*), 6) AS DOUBLE) AS mean_g,
+           CAST(round(sum(r) * 1.0 / count(*), 6) AS DOUBLE) AS mean_r,
+           CAST(greatest(max(b), max(g), max(r)) AS INT) AS peak
+    FROM vals GROUP BY media_id, w, h
+    """,
+)
+def _mmb(spark, sf):
+    """REAL image decode, hash-oracled (round-2 verdict item 8 — the WAV
+    pattern replicated for the image kind): genuine bottom-up 24-bit BMP
+    payloads are synthesized (stdlib struct), decoded back (header parse +
+    padded BGR row read + channel stats) via mapInPandas, and the DuckDB
+    twin recomputes width/height/file size/channel means/peak analytically
+    from the integer pixel formula — an encode→decode→aggregate round-trip
+    value check."""
+    from metadata_reconciliation_tool_spark.operators.multimodal import (
+        decode_bmp_features,
+        gen_bmp_media,
+    )
+
+    out = decode_bmp_features(gen_bmp_media(spark, 64))
+    return out.select(
+        "media_id",
+        "width",
+        "height",
+        "n_bytes",
+        F.round("mean_b", 6).alias("mean_b"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_r", 6).alias("mean_r"),
+        "peak",
+    )
 
 
 @_q(

@@ -108,13 +108,41 @@ def _pass_keys(
     )
 
 
-def dictionary_candidates(entities_keyed: DataFrame, dictionary_keyed: DataFrame) -> DataFrame:
+def dictionary_candidates(
+    entities_keyed: DataFrame,
+    dictionary_keyed: DataFrame,
+    broadcast_max_rows: int = 2_000_000,
+    broadcast: bool | None = None,
+    shuffle_salts: int = 16,
+) -> DataFrame:
     """Entity ↔ authority-dictionary candidate pairs (J3).
 
-    The dictionary side is small by construction (it replaces an external
-    authority service) → broadcast: zero shuffle of the 10^12-row entity
-    side. One join on (block_pass, block_key) covers all three passes.
-    Returns (left_key=entity_key, right_key=auth_id, block_pass, block_key).
+    Join strategy is size-gated (round-2 verdict: the unconditional
+    broadcast would OOM every executor on a realistically-sized authority
+    dictionary — Wikidata labels ≈ 10⁸ rows × ~18 exploded pass keys):
+
+    - ``broadcast=None`` (auto): one count() of the dictionary decides —
+      at or below ``broadcast_max_rows`` rows (pre-explosion) the exploded
+      key frame is broadcast and the 10^12-row entity side never shuffles;
+      above it, a shuffle hash join on (block_pass, block_key).
+    - The shuffle path salts AGAINST skew with the same
+      split-one-side / replicate-the-other contract as
+      :func:`self_candidates`, inverted for the asymmetric shape: the
+      (huge) entity side is SPLIT by ``salt = hash(entity_key) %
+      shuffle_salts`` — a hot block (a common surname metaphone) lands in
+      ``shuffle_salts`` shuffle groups instead of one straggler — and the
+      dictionary side is REPLICATED to all salts. A fixed salt count is
+      deliberate here (vs the per-block sizing of self_candidates): sizing
+      would cost a full aggregate over the exploded entity keys plus a
+      non-broadcastable per-block map join, while replicating the smaller
+      dictionary ×16 is bounded (10⁸×16 rows shuffled vs 10^12 entity
+      rows) and AQE skew-join handles residual imbalance. Each pair is
+      produced exactly once: the entity row's salt picks the bucket.
+
+    One join covers all three passes. Returns (left_key=entity_key,
+    right_key=auth_id, block_pass, block_key, payload…); pair output is
+    identical under either strategy (parity-tested with broadcast forced
+    off).
     """
     e = _pass_keys(
         entities_keyed,
@@ -134,17 +162,29 @@ def dictionary_candidates(entities_keyed: DataFrame, dictionary_keyed: DataFrame
     ]
     for c in source_cols:
         right_payload[f"right_{c}"] = c
-    d = F.broadcast(
-        _pass_keys(dictionary_keyed, "auth_id", right_payload).withColumnRenamed(
-            "id", "right_key"
-        )
+    d = _pass_keys(dictionary_keyed, "auth_id", right_payload).withColumnRenamed(
+        "id", "right_key"
     )
-    joined = e.join(d, ["block_pass", "block_key"]).select(
+    out_cols = [
         "left_key", "right_key", "block_pass", "block_key",
         "left_name", "right_name", "right_description",
         "left_sorted", "right_sorted",
         *[f"right_{c}" for c in source_cols],
-    )
+    ]
+    if broadcast is None:
+        broadcast = dictionary_keyed.count() <= broadcast_max_rows
+    if broadcast:
+        joined = e.join(F.broadcast(d), ["block_pass", "block_key"]).select(*out_cols)
+    else:
+        salted_e = e.withColumn(
+            "_salt", F.pmod(F.xxhash64("left_key"), F.lit(shuffle_salts)).cast("int")
+        )
+        replicated_d = d.withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(shuffle_salts - 1)))
+        )
+        joined = salted_e.join(
+            replicated_d, ["block_pass", "block_key", "_salt"]
+        ).select(*out_cols)
     return dedup_pairs(joined)
 
 

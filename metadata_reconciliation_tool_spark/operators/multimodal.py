@@ -10,11 +10,16 @@ kind:
   synthetic WAV payloads are genuine RIFF files, and the decoded stats are
   hash-oracled against DuckDB recomputing them analytically from the
   generating formula — a full encode→decode→aggregate round-trip check.
-- image/video — STUBBED: codec libraries (PIL/ffmpeg) are not in this
-  container. Each stub either raises NotImplementedError (strict mode) or
-  produces a deterministic fake derived from the bytes (test mode), keeping
-  the pipeline shape — schema in, schema out, batch-wise Arrow transfer —
-  exactly what would run at scale with the real decoder dropped in.
+- **image/bmp — REAL decode** (round 3): genuine bottom-up 24-bit BMP
+  payloads built with stdlib ``struct``, header parse + padded BGR row read
+  + channel stats, hash-oracled analytically like WAV.
+- other image codecs / video — STUBBED: codec libraries (PIL/ffmpeg) are
+  not in this container. Each stub either raises NotImplementedError
+  (strict mode) or produces a deterministic fake derived from the bytes
+  (test mode; itself hash-oracled — sha256 is recomputable in DuckDB),
+  keeping the pipeline shape — schema in, schema out, batch-wise Arrow
+  transfer — exactly what would run at scale with the real decoder dropped
+  in.
 """
 
 from __future__ import annotations
@@ -171,6 +176,120 @@ def decode_wav_features(media: DataFrame) -> DataFrame:
 
     wavs = media.filter((F.col("kind") == "audio") & (F.col("mime") == "audio/wav"))
     return wavs.mapInPandas(fn, WAV_FEATURES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# image/bmp — REAL decode, pure stdlib struct (the WAV pattern replicated for
+# the image kind: genuine 24-bit BMP payloads, header parse + pixel stats,
+# analytic DuckDB twin recomputing the stats from the generating formula)
+# ---------------------------------------------------------------------------
+
+
+def bmp_dims_py(media_id: int) -> tuple[int, int]:
+    """Per-row varying dimensions to exercise variable-size decode; widths
+    7/10/13 make every row need 4-byte padding (w*3 % 4 != 0), so the
+    padded-row read path is actually round-tripped."""
+    return 7 + (media_id % 3) * 3, 6 + (media_id % 2) * 2
+
+
+def bmp_pixel_py(media_id: int, x: int, y: int, c: int) -> int:
+    """Deterministic channel value (c: 0=B, 1=G, 2=R — BMP byte order).
+    Integer-only so the DuckDB oracle recomputes it exactly."""
+    return (media_id * 31 + y * 17 + x * 7 + c * 5) % 256
+
+
+def bmp_bytes_py(media_id: int) -> bytes:
+    """A genuine bottom-up 24-bit BMP built with the stdlib: 14-byte file
+    header + 40-byte BITMAPINFOHEADER + BGR rows padded to 4 bytes."""
+    w, h = bmp_dims_py(media_id)
+    row_size = (w * 3 + 3) // 4 * 4
+    img_size = row_size * h
+    header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    rows = bytearray()
+    for yfile in range(h):  # bottom-up: file row 0 is image row h-1
+        y = h - 1 - yfile
+        for x in range(w):
+            for c in range(3):
+                rows.append(bmp_pixel_py(media_id, x, y, c))
+        rows.extend(b"\x00" * (row_size - w * 3))
+    return header + info + bytes(rows)
+
+
+def gen_bmp_media(spark: SparkSession, n: int = 64) -> DataFrame:
+    """Deterministic synthetic image table of REAL BMP payloads."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "kind": "image",
+                    "payload": [bmp_bytes_py(int(m)) for m in ids],
+                    "mime": "image/bmp",
+                    "meta": [{"synthetic": "true"}] * len(ids),
+                }
+            )
+
+    return spark.range(n).mapInPandas(fn, MEDIA_SCHEMA)
+
+
+BMP_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("n_bytes", T.IntegerType(), False),
+        T.StructField("mean_b", T.DoubleType(), False),
+        T.StructField("mean_g", T.DoubleType(), False),
+        T.StructField("mean_r", T.DoubleType(), False),
+        T.StructField("peak", T.IntegerType(), False),
+    ]
+)
+
+
+def decode_bmp_py(payload: bytes) -> dict:
+    """REAL BMP decode: struct header parse (magic, data offset, dims, 24bpp
+    check), padded bottom-up BGR row read, numpy channel stats."""
+    magic, file_size, _, _, offset = struct.unpack_from("<2sIHHI", payload, 0)
+    if magic != b"BM":
+        raise ValueError("not a BMP payload")
+    hdr_size, w, h = struct.unpack_from("<Iii", payload, 14)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    if bpp != 24 or hdr_size < 40:
+        raise ValueError(f"unsupported BMP variant (bpp={bpp})")
+    row_size = (w * 3 + 3) // 4 * 4
+    px = np.zeros((abs(h), w, 3), dtype=np.uint8)
+    for yfile in range(abs(h)):
+        row = np.frombuffer(payload, dtype=np.uint8, count=w * 3, offset=offset + yfile * row_size)
+        y = abs(h) - 1 - yfile if h > 0 else yfile  # positive h = bottom-up
+        px[y] = row.reshape(w, 3)
+    flat = px.reshape(-1, 3).astype(np.int64)
+    return {
+        "width": w,
+        "height": abs(h),
+        "n_bytes": len(payload),
+        "mean_b": float(flat[:, 0].sum() / flat.shape[0]),
+        "mean_g": float(flat[:, 1].sum() / flat.shape[0]),
+        "mean_r": float(flat[:, 2].sum() / flat.shape[0]),
+        "peak": int(flat.max()),
+    }
+
+
+def decode_bmp_features(media: DataFrame) -> DataFrame:
+    """image/bmp rows → decoded pixel stats via mapInPandas (one Arrow pass
+    per partition, same batch shape as the WAV decoder)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [decode_bmp_py(p) for p in pdf["payload"]]
+            out = pd.DataFrame(rows)
+            out.insert(0, "media_id", pdf["media_id"].values)
+            yield out
+
+    bmps = media.filter((F.col("kind") == "image") & (F.col("mime") == "image/bmp"))
+    return bmps.mapInPandas(fn, BMP_FEATURES_SCHEMA)
 
 
 def _decode_stub(payload: bytes, kind: str, strict: bool) -> np.ndarray:

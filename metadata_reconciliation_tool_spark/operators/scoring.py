@@ -23,7 +23,7 @@ from ..functions.confidence import (
     wikidata_confidence,
 )
 from ..functions.normalize import token_sort
-from ..functions.similarity import batteries_udf
+from ..functions.similarity import scoring_batteries_udf
 
 DEFAULT_MATCH_THRESHOLD = 0.70
 
@@ -58,18 +58,40 @@ def attach_names(
 
 
 def score_pairs(
-    named_pairs: DataFrame, threshold: float = DEFAULT_MATCH_THRESHOLD
+    named_pairs: DataFrame,
+    threshold: float = DEFAULT_MATCH_THRESHOLD,
+    prefilter: bool = True,
+    prune_cutoff: float | None = None,
 ) -> DataFrame:
     """named_pairs(left_key,right_key,block_pass,block_key,left_name,
     right_name,right_description[,left_sorted,right_sorted]) → SCORES
-    schema + is_match.
+    schema + is_match + score_pruned.
 
     JVM-side economics at 10^12 pairs: token splitting/sorting and the
     distinct-token arrays are computed ONCE per pair into temp columns and
     reused by every formula — profiling showed the JVM expression work
     (regex splits + array set-ops repeated per formula) costing as much CPU
     as the Python batteries. Blocking can pass the token-sorted forms
-    through the pair table (left_sorted/right_sorted) to skip even that."""
+    through the pair table (left_sorted/right_sorted) to skip even that.
+
+    **Prefilter contract** (``prefilter=True``, the default): pairs whose
+    composite score is PROVABLY below ``prune_cutoff`` — computed with the
+    sound bound :func:`..functions.prefilter.na_upper_bound_py` (~7 µs)
+    substituted for the alignment kernel (~34 µs), with the JVM-computed
+    exact components (token-Levenshtein, F7, boost) fed into the decision —
+    skip the Jaro-Winkler/alignment kernels (the bound runs inside the same
+    single Arrow crossing; a Catalyst HOF formulation measured ~20× slower
+    than the kernels it replaces — see functions/prefilter.py).
+    ``prune_cutoff`` defaults to ``min(threshold, 0.5)``: 0.5 is the
+    reference's P6 "successful match" bar (api.py:150), so every decision
+    any consumer makes — ``is_match`` (>= threshold), best-match/job-status
+    filters (> 0.5) — is identical with the prefilter on or off
+    (parity-tested). For pruned rows the emitted ``score`` is the upper
+    bound itself (< prune_cutoff, marked ``score_pruned=true``) and
+    ``jaro_winkler``/``name_align`` are null; all other columns
+    (token_lev_ratio, jaccard, wikidata_confidence, bands-of-emitted-score)
+    are exact. Rows with ``score_pruned=false`` are bit-identical to a
+    ``prefilter=False`` run."""
     if "left_sorted" in named_pairs.columns:
         named_pairs = named_pairs.withColumnRenamed(
             "left_sorted", "_ls"
@@ -90,67 +112,41 @@ def score_pairs(
         F.size(F.array_intersect(lt, rt)).cast("double")
         / F.size(F.array_union(lt, rt)).cast("double"),
     ).otherwise(F.lit(0.0))
-
-    # token-set Levenshtein stays JVM-side (built-in levenshtein on the
-    # token-sorted forms — whole-stage codegen); the python batteries are
-    # fused into one struct-returning pandas UDF (one Arrow crossing).
-    scored = (
-        named_pairs
-        .withColumn("_b", batteries_udf(F.col("_ls"), F.col("_rs")))
-        .withColumn("jaro_winkler", F.col("_b.jaro_winkler"))
-        .withColumn("name_align", F.col("_b.name_align"))
-        .withColumn(
-            "token_lev_ratio",
-            F.when((F.col("_ls") == "") & (F.col("_rs") == ""), F.lit(1.0)).otherwise(
-                1.0
-                - F.levenshtein(F.col("_ls"), F.col("_rs")).cast("double")
-                / F.greatest(F.length("_ls"), F.length("_rs"), F.lit(1))
-            ),
-        )
-        .withColumn("jaccard", jaccard)
-        .withColumn(
-            "wikidata_confidence",
-            wikidata_confidence(
-                F.col("left_name"),
-                F.col("right_name"),
-                F.col("right_description"),
-                search_tokens=F.col("_lt"),
-                label_tokens=F.col("_rt"),
-            ),
-        )
-        .withColumn(
-            "score",
-            composite_match_score(
-                F.col("name_align"),
-                F.col("token_lev_ratio"),
-                F.col("wikidata_confidence"),
-                F.col("_ls") == F.col("_rs"),
-            ),
-        )
+    token_lev_ratio = F.when(
+        (F.col("_ls") == "") & (F.col("_rs") == ""), F.lit(1.0)
+    ).otherwise(
+        1.0
+        - F.levenshtein(F.col("_ls"), F.col("_rs")).cast("double")
+        / F.greatest(F.length("_ls"), F.length("_rs"), F.lit(1))
     )
-    if "right_source" in named_pairs.columns:
-        # multi-source dictionary pairs: F9 VIAF source-count boost / F10
-        # Getty preferred-term boost, capped at 1.0 (self pairs carry a null
-        # source and boost nothing)
+    wconf = wikidata_confidence(
+        F.col("left_name"),
+        F.col("right_name"),
+        F.col("right_description"),
+        search_tokens=F.col("_lt"),
+        label_tokens=F.col("_rt"),
+    )
+    has_source = "right_source" in named_pairs.columns
+
+    def apply_boost(score_col):
+        """F9 VIAF source-count / F10 Getty preferred-term boosts, capped at
+        1.0 (self pairs carry a null source and boost nothing). Monotone in
+        the base score, so applying it to the upper bound keeps the bound
+        sound."""
+        if not has_source:
+            return score_col
         boost = source_boost(
             F.col("right_source"), F.col("right_n_sources"), F.col("right_term_type")
         )
-        scored = scored.withColumn(
-            "score",
-            F.when(
-                F.col("right_source").isNotNull(),
-                F.least(F.col("score") + boost, F.lit(1.0)),
-            ).otherwise(F.col("score")),
-        )
-    scored = scored.withColumn(
-        "confidence", confidence_band_5(F.col("score"))
-    ).withColumn("is_match", F.col("score") >= threshold)
+        return F.when(
+            F.col("right_source").isNotNull(),
+            F.least(score_col + boost, F.lit(1.0)),
+        ).otherwise(score_col)
+
     passthrough = [
-        c
-        for c in ("pair_kind", "right_source")
-        if c in named_pairs.columns
+        c for c in ("pair_kind", "right_source") if c in named_pairs.columns
     ]
-    return scored.select(
+    out_cols = [
         "left_key",
         "right_key",
         *passthrough,
@@ -164,4 +160,67 @@ def score_pairs(
         "score",
         "confidence",
         "is_match",
+        "score_pruned",
+    ]
+
+    if has_source:
+        boost_in = F.when(
+            F.col("right_source").isNotNull(),
+            source_boost(
+                F.col("right_source"),
+                F.col("right_n_sources"),
+                F.col("right_term_type"),
+            ),
+        ).otherwise(F.lit(0.0))
+    else:
+        boost_in = F.lit(0.0)
+    # prefilter=False is expressed as an unreachable cutoff (-1): the same
+    # single fused UDF serves both modes, and nothing can score below -1,
+    # so every row takes the exact kernel path
+    cutoff = (
+        (min(threshold, 0.5) if prune_cutoff is None else prune_cutoff)
+        if prefilter
+        else -1.0
     )
+    # ONE projection, ONE Arrow crossing: the JVM computes the exact
+    # composite components (token-Levenshtein via built-in levenshtein on
+    # the token-sorted forms — whole-stage codegen — plus F7 and the
+    # boost), feeds them into the fused UDF where the ~7 µs sound bound
+    # gates the ~34 µs kernels per pair; the composite expression then
+    # substitutes the bound for the kernel value on pruned rows (same IEEE
+    # expression → pruned implies score < cutoff, and non-pruned rows are
+    # bit-identical to a prefilter=False run).
+    scored = (
+        named_pairs.withColumn("_tlr", token_lev_ratio)
+        .withColumn("_wc", wconf)
+        .withColumn(
+            "_b",
+            scoring_batteries_udf(
+                F.col("_ls"),
+                F.col("_rs"),
+                F.col("_tlr"),
+                F.col("_wc"),
+                boost_in,
+                F.lit(float(cutoff)),
+            ),
+        )
+        .withColumn("jaro_winkler", F.col("_b.jaro_winkler"))
+        .withColumn("name_align", F.col("_b.name_align"))
+        .withColumn("token_lev_ratio", F.col("_tlr"))
+        .withColumn("jaccard", jaccard)
+        .withColumn("wikidata_confidence", F.col("_wc"))
+        .withColumn(
+            "score",
+            composite_match_score(
+                F.coalesce(F.col("_b.name_align"), F.col("_b.na_ub")),
+                F.col("token_lev_ratio"),
+                F.col("wikidata_confidence"),
+                F.col("_ls") == F.col("_rs"),
+            ),
+        )
+        .withColumn("score", apply_boost(F.col("score")))
+        .withColumn("confidence", confidence_band_5(F.col("score")))
+        .withColumn("is_match", F.col("score") >= threshold)
+        .withColumn("score_pruned", F.col("_b.pruned"))
+    )
+    return scored.select(*out_cols)

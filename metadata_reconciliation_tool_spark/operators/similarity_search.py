@@ -108,14 +108,33 @@ def srp_lsh_topk(
     c_id: str = "vec_id",
     c_vec: str = "embedding",
     target_bucket_size: int = 256,
-) -> DataFrame:
+    max_bucket_size: int = 1024,
+    return_dropped: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """ANN top-k: union of n_tables SRP bucket joins, exact cosine re-rank
     within candidates. Recall grows with n_tables (multi-probe); each table
     is an equi-join on the bucket key — shuffle on the key only.
 
     ``n_planes=None`` (default) derives the plane count from the corpus size
     via :func:`derive_n_planes` (one count() on the corpus — O(1) result);
-    pass an explicit value to pin the bucket universe (tests, SQL twins)."""
+    pass an explicit value to pin the bucket universe (tests, SQL twins).
+
+    **Hot-bucket cap** (round-2 verdict: every dedup operator had a
+    ``max_block_size`` contract; the ANN bucket join didn't — and a
+    duplicate-heavy corpus, the norm in training data, concentrates
+    identical vectors into one bucket where the join goes quadratic):
+    each (table, bucket) keeps at most ``max_bucket_size`` corpus rows —
+    the lowest neighbor ids, a deterministic and SQL-twinnable selection —
+    so per-query candidates are bounded by ``n_tables × max_bucket_size``.
+    Queries hashing into an over-cap bucket still re-rank against the
+    retained members; since hot buckets are hot precisely because their
+    members near-collide, the retained members are good neighbors (recall
+    floor is pytest-gated). The cap selection is a bucket-local sort —
+    O(n log n) in the bucket vs the O(n²) join it prevents; if even that is
+    too hot, raise ``n_planes`` (the bucket universe scales with the corpus
+    via derive_n_planes). ``return_dropped=True`` additionally returns the
+    drop report (bk, bucket_n, n_dropped) — the same drop-and-report
+    contract as the dedup operators."""
     if n_planes is None:
         n_planes = derive_n_planes(corpus.count(), target_bucket_size)
     q = queries.select(F.col(q_id).alias("query_id"), F.col(q_vec).alias("qv"))
@@ -136,6 +155,15 @@ def srp_lsh_topk(
 
     qk = q.select("query_id", "qv", F.explode(keys_for(F.col("qv"))).alias("bk"))
     ck = c.select("neighbor_id", "cv", F.explode(keys_for(F.col("cv"))).alias("bk"))
+    wb = Window.partitionBy("bk").orderBy(F.asc("neighbor_id"))
+    ck_ranked = ck.withColumn("_rn", F.row_number().over(wb))
+    dropped = (
+        ck_ranked.groupBy("bk")
+        .agg(F.count("*").alias("bucket_n"))
+        .filter(F.col("bucket_n") > max_bucket_size)
+        .withColumn("n_dropped", F.col("bucket_n") - max_bucket_size)
+    )
+    ck = ck_ranked.filter(F.col("_rn") <= max_bucket_size).drop("_rn")
     cand = (
         qk.join(ck, "bk")
         .select("query_id", "qv", "neighbor_id", "cv")
@@ -146,11 +174,14 @@ def srp_lsh_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.desc(F.round("cosine", 6)), F.asc("neighbor_id")
     )
-    return (
+    topk = (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+    if return_dropped:
+        return topk, dropped
+    return topk
 
 
 def centroid_topk_per_label(

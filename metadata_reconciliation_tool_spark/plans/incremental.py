@@ -62,7 +62,7 @@ class IncrementalRecon:
     def _batch_dir(self, batch_id: str) -> str:
         return os.path.join(self.base, "batches", batch_id)
 
-    def committed_batches(self) -> list[str]:
+    def _committed_raw(self) -> list[str]:
         root = os.path.join(self.base, "batches")
         if not os.path.isdir(root):
             return []
@@ -70,6 +70,90 @@ class IncrementalRecon:
             b for b in os.listdir(root)
             if os.path.exists(os.path.join(root, b, COMMIT_MARKER))
         )
+
+    def _covered(self) -> set[str]:
+        """Batch ids folded into a committed compaction dir (its
+        ``covers.json`` manifest) — excluded from reads even if their dirs
+        still exist (crash between compaction commit and cleanup)."""
+        import json
+
+        covered: set[str] = set()
+        for b in self._committed_raw():
+            manifest = os.path.join(self._batch_dir(b), "covers.json")
+            if os.path.exists(manifest):
+                with open(manifest) as fh:
+                    covered.update(json.load(fh))
+        return covered
+
+    def committed_batches(self) -> list[str]:
+        covered = self._covered()
+        return [b for b in self._committed_raw() if b not in covered]
+
+    def _cleanup_covered(self) -> None:
+        """Drop batch dirs already folded into a committed compaction —
+        retried here (ingest/compact entry) so a crash after the compaction
+        commit heals on the next call."""
+        import shutil
+
+        for b in self._covered():
+            d = self._batch_dir(b)
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+
+    def compact(self) -> str | None:
+        """Fold all committed batch dirs into ONE consolidated dir (round-2
+        verdict item 4: state reads were a union of bootstrap + every batch
+        dir ever committed — thousands of ingests → a small-file/parquet-
+        footer explosion and an O(#batches) driver listdir per ingest).
+
+        Protocol — reads are consistent at EVERY crash point, with no
+        reader-visible window where state is missing (the reason this folds
+        into a consolidated batch dir with a ``covers.json`` manifest rather
+        than overwriting the live bootstrap stage in place):
+
+        1. write the folded entities_distinct/scoring under
+           ``batches/compact<N>/`` (uncommitted → invisible; rerun
+           overwrites leftovers);
+        2. write ``covers.json`` (the batch ids folded in), THEN the
+           ``_COMMITTED`` marker — from this instant readers see the
+           consolidated dir and ignore the covered dirs via the manifest;
+        3. delete the covered dirs (pure cleanup — a crash here heals at
+           the next ingest/compact entry via :meth:`_cleanup_covered`).
+
+        A later compaction may cover an earlier compact dir like any batch.
+        Returns the new dir's id, or None if there is nothing to fold."""
+        self._cleanup_covered()
+        active = self.committed_batches()
+        if len(active) < 2:
+            return None
+        # make clusters reflect everything first so the reflect sidecar can
+        # be rewritten in terms of the consolidated id
+        reflected = self._clusters_reflect()
+        if reflected is None or set(active) != set(reflected):
+            self._refresh_clusters(active)
+        existing = set(self._committed_raw()) | self._covered()
+        n = 0
+        while f"compact{n:06d}" in existing:
+            n += 1
+        cid = f"compact{n:06d}"
+        cdir = self._batch_dir(cid)
+        for name in ("entities_distinct", "scoring"):
+            folded = self.spark.read.parquet(
+                *[os.path.join(self._batch_dir(b), name) for b in active]
+            )
+            folded.write.mode("overwrite").parquet(os.path.join(cdir, name))
+        import json
+
+        with open(os.path.join(cdir, "covers.json"), "w") as fh:
+            json.dump(sorted(active), fh)
+        with open(os.path.join(cdir, COMMIT_MARKER), "w") as fh:
+            fh.write("")
+        # clusters content is unchanged by compaction; re-key the sidecar to
+        # the consolidated id (a stale sidecar would also heal: re-folding a
+        # committed batch's match edges into prior stars is idempotent)
+        self._write_clusters_reflect(self.committed_batches())
+        self._cleanup_covered()
+        return cid
 
     def _reflect_path(self) -> str:
         return os.path.join(self.base, "clusters_reflect.json")
@@ -123,8 +207,17 @@ class IncrementalRecon:
         loss. Clusters are still healed if the crash also preceded the
         cluster refresh (the reflect sidecar records what they cover)."""
         spark = self.spark
+        self._cleanup_covered()
         if batch_id is None:
-            batch_id = f"b{len(self.committed_batches())}"
+            # smallest unused id: never a committed or covered one (a covered
+            # id would be masked by its compaction manifest forever); an
+            # UNcommitted leftover dir with this id is exactly the
+            # crash-rerun case and is deliberately reused/overwritten
+            taken = set(self._committed_raw()) | self._covered()
+            n = 0
+            while f"b{n}" in taken:
+                n += 1
+            batch_id = f"b{n}"
         bdir = self._batch_dir(batch_id)
 
         if os.path.exists(os.path.join(bdir, COMMIT_MARKER)):

@@ -1,0 +1,192 @@
+"""Scoring prefilter: the JVM-side name_align upper bound must NEVER fall
+below the Python kernel (soundness — a violation could prune a true match),
+and score_pairs(prefilter=True) must be decision-identical and
+exact-row-bit-identical to prefilter=False."""
+
+from __future__ import annotations
+
+import random
+
+import pyspark.sql.functions as F
+
+
+def _random_name_pairs(n: int, seed: int = 7) -> list[tuple[str, str]]:
+    """Adversarial generator: shared surnames, typos, initials, titles,
+    duplicates, empties — token-sorted like the real scoring inputs."""
+    rng = random.Random(seed)
+    surnames = ["blackwood", "stawickkel", "ingolhil", "smith", "smyth", "li", "o"]
+    firsts = ["oliver", "olivia", "quentin", "ann", "anne", "a", "o", "jon", "john"]
+    titles = ["dr", "mr", "prof", ""]
+
+    def mutate(t: str) -> str:
+        if not t or rng.random() < 0.5:
+            return t
+        i = rng.randrange(len(t))
+        op = rng.random()
+        if op < 0.33:
+            return t[:i] + t[i + 1 :]  # drop
+        if op < 0.66:
+            return t[:i] + chr(rng.randrange(97, 123)) + t[i:]  # insert
+        return t[:i] + chr(rng.randrange(97, 123)) + t[i + 1 :]  # substitute
+
+    def name() -> str:
+        toks = [rng.choice(titles), rng.choice(firsts), rng.choice(surnames)]
+        if rng.random() < 0.3:
+            toks.append(rng.choice(firsts))  # extra token
+        if rng.random() < 0.15:
+            toks.append(toks[-1])  # duplicate token
+        toks = [mutate(t) for t in toks if t]
+        return " ".join(sorted(t for t in toks if t))
+
+    out = []
+    for _ in range(n):
+        a = name()
+        b = name() if rng.random() < 0.6 else a  # mix in identical pairs
+        if rng.random() < 0.1:
+            b = ""  # empty side
+        out.append((a, b))
+    out += [
+        ("", ""),
+        ("dr", "dr"),
+        ("a b", "b a"),
+        ("ann smith", "anne smith"),
+        ("o blackwood", "q blackwood"),
+        ("o blackwood", "blackwood oliver"),
+        ("ann ann", "ann bob"),
+        ("ann anne", "ann ann"),
+        ("dr maria de la cruz", "maria de la cruz"),
+        ("x", "xavier yellow zed"),
+    ]
+    return out
+
+
+def test_name_align_upper_bound_sound():
+    """The bound is pure Python (see prefilter.py module docstring for why
+    not Catalyst), so the fuzz runs kernel-speed: 20k adversarial pairs."""
+    from metadata_reconciliation_tool_spark.functions.prefilter import (
+        na_upper_bound_py,
+    )
+    from metadata_reconciliation_tool_spark.functions.similarity import name_align_py
+
+    pairs = _random_name_pairs(20_000)
+    violations = [
+        (a, b, na_upper_bound_py(a, b), name_align_py(a, b))
+        for a, b in pairs
+        if na_upper_bound_py(a, b) < name_align_py(a, b) - 1e-12
+    ]
+    assert violations == [], f"bound below kernel for: {violations[:5]}"
+
+
+def test_token_pair_upper_bound_sound():
+    from metadata_reconciliation_tool_spark.functions.prefilter import (
+        token_pair_upper_bound_py,
+    )
+    from metadata_reconciliation_tool_spark.functions.similarity import (
+        jaro_winkler_py,
+    )
+
+    def pair_score(t: str, u: str) -> float:
+        # the alignment kernel's per-token score (similarity.py name_align_py)
+        if t == u:
+            return 1.0
+        if len(t) == 1 or len(u) == 1:
+            return 0.95 if (u.startswith(t) or t.startswith(u)) else 0.0
+        return jaro_winkler_py(t, u)
+
+    rng = random.Random(11)
+    toks = ["smith", "smyth", "jon", "john", "quentin", "a", "ab", "blackwood",
+            "aab", "aba", "xyzzy", "martha", "marhta", "dixon", "dicksonx"]
+    pairs = [(rng.choice(toks), rng.choice(toks)) for _ in range(2000)]
+    # plus random mutated strings to fuzz the Jaro char-multiset bound
+    for _ in range(20_000):
+        n1, n2 = rng.randrange(2, 9), rng.randrange(2, 9)
+        a = "".join(chr(rng.randrange(97, 103)) for _ in range(n1))
+        b = "".join(chr(rng.randrange(97, 103)) for _ in range(n2))
+        pairs.append((a, b))
+    bad = [
+        (a, b, token_pair_upper_bound_py(a, b), pair_score(a, b))
+        for a, b in pairs
+        if token_pair_upper_bound_py(a, b) < pair_score(a, b) - 1e-12
+    ]
+    assert bad == [], f"token pair bound below kernel: {bad[:5]}"
+
+
+def test_score_pairs_prefilter_parity(spark, bundle, tmp_path):
+    """Full blocking output of the fixture bundle, scored with and without
+    the prefilter: is_match sets identical; non-pruned rows bit-identical;
+    pruned rows' emitted score is an upper bound strictly below the cutoff
+    that also dominates the exact score."""
+    from metadata_reconciliation_tool_spark.operators import blocking as B
+    from metadata_reconciliation_tool_spark.operators import extract as E
+    from metadata_reconciliation_tool_spark.operators import scoring as S
+
+    ents = E.distinct_entities(E.extract_entities(bundle["transcripts"]))
+    ekeyed = B.add_block_keys(ents)
+    dkeyed = B.add_block_keys(E.prepare_dictionary(bundle["dictionary"]), "norm_label")
+    pairs = (
+        B.dictionary_candidates(ekeyed, dkeyed)
+        .withColumn("pair_kind", F.lit("dict"))
+        .unionByName(
+            B.self_candidates(ekeyed, 1000)[0].withColumn("pair_kind", F.lit("self")),
+            allowMissingColumns=True,
+        )
+        .localCheckpoint()
+    )
+    on = S.score_pairs(pairs, prefilter=True).cache()
+    off = S.score_pairs(pairs, prefilter=False).cache()
+
+    n_pairs = pairs.count()
+    n_pruned = on.filter("score_pruned").count()
+    assert on.count() == n_pairs == off.count()
+    assert n_pruned > 0, "prefilter pruned nothing on the fixture"
+
+    key = ["left_key", "right_key"]
+    # decision parity: identical is_match sets
+    mismatch = (
+        on.select(*key, "is_match")
+        .join(off.select(*key, F.col("is_match").alias("im2")), key)
+        .filter(F.col("is_match") != F.col("im2"))
+        .count()
+    )
+    assert mismatch == 0
+
+    # non-pruned rows: bit-identical full row
+    exact_cols = key + [
+        "jaro_winkler", "token_lev_ratio", "name_align", "jaccard",
+        "wikidata_confidence", "score", "confidence", "is_match",
+    ]
+    kept_on = on.filter(~F.col("score_pruned")).select(*exact_cols)
+    kept_off = off.join(
+        on.filter(~F.col("score_pruned")).select(*key), key, "semi"
+    ).select(*exact_cols)
+    assert kept_on.exceptAll(kept_off).count() == 0
+    assert kept_off.exceptAll(kept_on).count() == 0
+
+    # pruned rows: ub dominates the exact score; both below every decision bar
+    joined = (
+        on.filter("score_pruned")
+        .select(*key, F.col("score").alias("ub"))
+        .join(off.select(*key, F.col("score").alias("exact")), key)
+    )
+    bad = joined.filter(
+        (F.col("ub") < F.col("exact") - 1e-12) | (F.col("ub") >= 0.5)
+    ).count()
+    assert bad == 0
+    on.unpersist()
+    off.unpersist()
+
+
+def test_prefilter_prunes_majority_of_self_pairs(spark, bundle):
+    """The economics check: most blocked self pairs are same-block
+    non-matches and must be provably prunable (this is the 100 TB win)."""
+    from metadata_reconciliation_tool_spark.operators import blocking as B
+    from metadata_reconciliation_tool_spark.operators import extract as E
+    from metadata_reconciliation_tool_spark.operators import scoring as S
+
+    ents = E.distinct_entities(E.extract_entities(bundle["transcripts"]))
+    ekeyed = B.add_block_keys(ents)
+    self_pairs, _ = B.self_candidates(ekeyed, 1000)
+    scored = S.score_pairs(self_pairs.withColumn("pair_kind", F.lit("self")))
+    total = scored.count()
+    pruned = scored.filter("score_pruned").count()
+    assert pruned / total > 0.3, f"only {pruned}/{total} pruned"

@@ -94,3 +94,46 @@ def test_asymmetric_candidates_under_skew(spark, hot_block):
         ).count()
         == 0
     )
+
+
+def test_asymmetric_corpus_salt_bounds_the_hottest_task(spark, hot_block):
+    """Round-2 verdict item 9: the asymmetric path's INVERTED salting must
+    bound the hottest shuffle task — the hot corpus block is SPLIT by
+    salt = hash(id) % n_salts (the batch side is replicated), so the
+    biggest (block, salt) bucket, which bounds per-task pair work at
+    |batch| x bucket_n, must stay near block_n / n_salts."""
+    rows_per_salt, max_salts = 64, 8
+    n_salts = min(-(-N // rows_per_salt), max_salts)  # operator's sizing
+    dist = (
+        hot_block.select(
+            F.pmod(F.xxhash64("entity_key"), F.lit(n_salts)).alias("salt")
+        )
+        .groupBy("salt")
+        .count()
+        .collect()
+    )
+    counts = {r.salt: r["count"] for r in dist}
+    assert len(counts) == n_salts  # the hot block actually spreads
+    assert max(counts.values()) <= (N / n_salts) * 1.5  # no straggler bucket
+
+    # end-to-end: per-(pass, key, salt) candidate volume is bounded by
+    # |batch| x hottest bucket — no task sees the whole block's pair work
+    from metadata_reconciliation_tool_spark.operators.blocking import (
+        add_block_keys,
+        asymmetric_candidates,
+    )
+
+    batch = hot_block.filter(F.col("entity_key") >= f"e{N - 100:05d}")
+    pairs, _ = asymmetric_candidates(
+        add_block_keys(batch), add_block_keys(hot_block),
+        max_block_size=N, rows_per_salt=rows_per_salt, max_salts=max_salts,
+    )
+    per_block = (
+        pairs.groupBy("block_pass", "block_key").count().collect()
+    )
+    hot = [r for r in per_block if r.block_pass == "prefix"]
+    assert hot, "hot prefix block vanished from the asymmetric path"
+    # the hot prefix block's pairs exist and were produced via the salted
+    # join: every one touches the batch, count matches the expected volume
+    expect = N * (N - 1) // 2 - (N - 100) * (N - 101) // 2
+    assert sum(r["count"] for r in hot) == expect
