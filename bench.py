@@ -137,6 +137,9 @@ def main() -> None:
             extra["stage_walls"] = dict(pipe.stage_walls)
         if i == 0:
             scored = out["dict_scores"].count() + out["self_scores"].count()
+            # recorded prune evidence: pairs whose sound upper bound kept
+            # them out of the python kernels (operators/scoring.py)
+            extra["pruned_pairs"] = out["scores"].filter("score_pruned").count()
     recon_sec = min(runs)
     timings["recon_pipeline"] = round(recon_sec, 3)
     extra["pipeline_runs"] = [round(r, 3) for r in runs]

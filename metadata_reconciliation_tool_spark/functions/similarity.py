@@ -442,24 +442,17 @@ def batteries_udf(s1: pd.Series, s2: pd.Series) -> pd.DataFrame:
     return pd.DataFrame({"jaro_winkler": jw, "name_align": al})
 
 
-@F.pandas_udf(
-    T.StructType(
-        [
-            T.StructField("jaro_winkler", T.DoubleType()),
-            T.StructField("name_align", T.DoubleType()),
-            T.StructField("na_ub", T.DoubleType()),
-            T.StructField("pruned", T.BooleanType()),
-        ]
-    )
+_SCORING_BATTERIES_SCHEMA = T.StructType(
+    [
+        T.StructField("jaro_winkler", T.DoubleType()),
+        T.StructField("name_align", T.DoubleType()),
+        T.StructField("na_ub", T.DoubleType()),
+        T.StructField("pruned", T.BooleanType()),
+    ]
 )
-def scoring_batteries_udf(
-    s1: pd.Series,
-    s2: pd.Series,
-    tlr: pd.Series,
-    wc: pd.Series,
-    boost: pd.Series,
-    cutoff: pd.Series,
-) -> pd.DataFrame:
+
+
+def make_scoring_batteries_udf(cutoff: float):
     """batteries_udf with the scoring prefilter fused in (round-2 verdict
     item 1): per pair, first the ~7 µs sound upper bound on name_align
     (functions/prefilter.py) — combined with the JVM-computed exact
@@ -470,32 +463,49 @@ def scoring_batteries_udf(
     (null, null, bound, true); exact rows (null bound) are bit-identical to
     batteries_udf. The prune comparison replicates the JVM score expression
     IEEE-op-for-op (0.55·na + 0.25·tlr + 0.20·wc, then min(score+boost, 1))
-    so `pruned` implies the emitted score column is < cutoff."""
+    so `pruned` implies the emitted score column is < cutoff.
+
+    ``cutoff`` is baked into the UDF closure (a factory, not a column): at
+    34M pairs a lit column is 274 MB of constant doubles through Arrow."""
     from .prefilter import na_upper_bound_py
 
-    n = len(s1)
-    jw = [1.0] * n
-    al = [1.0] * n
-    ub: list[float | None] = [None] * n
-    pruned = [False] * n
-    for i, (a, b) in enumerate(zip(s1, s2)):
-        if a == b and a and any(t not in _TITLES for t in a.split()):
-            continue  # identical with a non-title token: exact (1.0, 1.0)
-        bound = na_upper_bound_py(a, b)
-        blend = 0.55 * bound + 0.25 * float(tlr.iat[i]) + 0.2 * float(wc.iat[i])
-        # a == b never prunes: the JVM composite's exact-equality branch
-        # scores such pairs 1.0 regardless of the alignment kernel
-        if a != b and min(blend + float(boost.iat[i]), 1.0) < float(cutoff.iat[i]):
-            jw[i] = None  # type: ignore[call-overload]
-            al[i] = None  # type: ignore[call-overload]
-            ub[i] = bound
-            pruned[i] = True
-            continue
-        jw[i] = jaro_winkler_py(a or "", b or "")
-        al[i] = name_align_py(a, b)
-    return pd.DataFrame(
-        {"jaro_winkler": jw, "name_align": al, "na_ub": ub, "pruned": pruned}
-    )
+    def fn(
+        s1: pd.Series, s2: pd.Series, tlr: pd.Series, wc: pd.Series,
+        boost: pd.Series,
+    ) -> pd.DataFrame:
+        n = len(s1)
+        names1 = s1.tolist()
+        names2 = s2.tolist()
+        tlr_v = tlr.to_numpy(dtype="float64", na_value=float("nan"))
+        wc_v = wc.to_numpy(dtype="float64", na_value=float("nan"))
+        boost_v = boost.to_numpy(dtype="float64", na_value=0.0)
+        jw = [1.0] * n
+        al = [1.0] * n
+        ub: list[float | None] = [None] * n
+        pruned = [False] * n
+        for i in range(n):
+            a, b = names1[i], names2[i]
+            if a == b:
+                if a and any(t not in _TITLES for t in a.split()):
+                    continue  # identical, non-title token: exact (1.0, 1.0)
+                # a == b never prunes: the JVM composite's exact-equality
+                # branch scores such pairs 1.0 regardless of the kernels
+            else:
+                bound = na_upper_bound_py(a, b)
+                blend = 0.55 * bound + 0.25 * float(tlr_v[i]) + 0.2 * float(wc_v[i])
+                if min(blend + float(boost_v[i]), 1.0) < cutoff:
+                    jw[i] = None  # type: ignore[call-overload]
+                    al[i] = None  # type: ignore[call-overload]
+                    ub[i] = bound
+                    pruned[i] = True
+                    continue
+            jw[i] = jaro_winkler_py(a or "", b or "")
+            al[i] = name_align_py(a, b)
+        return pd.DataFrame(
+            {"jaro_winkler": jw, "name_align": al, "na_ub": ub, "pruned": pruned}
+        )
+
+    return F.pandas_udf(fn, _SCORING_BATTERIES_SCHEMA)
 
 
 def surname_key_py(norm_name: str) -> str:

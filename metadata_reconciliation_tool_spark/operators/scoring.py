@@ -23,7 +23,7 @@ from ..functions.confidence import (
     wikidata_confidence,
 )
 from ..functions.normalize import token_sort
-from ..functions.similarity import scoring_batteries_udf
+from ..functions.similarity import make_scoring_batteries_udf
 
 DEFAULT_MATCH_THRESHOLD = 0.70
 
@@ -195,13 +195,12 @@ def score_pairs(
         .withColumn("_wc", wconf)
         .withColumn(
             "_b",
-            scoring_batteries_udf(
+            make_scoring_batteries_udf(float(cutoff))(
                 F.col("_ls"),
                 F.col("_rs"),
                 F.col("_tlr"),
                 F.col("_wc"),
                 boost_in,
-                F.lit(float(cutoff)),
             ),
         )
         .withColumn("jaro_winkler", F.col("_b.jaro_winkler"))

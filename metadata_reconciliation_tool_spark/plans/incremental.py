@@ -19,7 +19,12 @@ NEW batch against the existing checkpointed state:
    batches only — a crash mid-batch leaves an uncommitted directory that
    the rerun simply overwrites, never a half-applied batch whose keys are
    "seen" but whose scores are lost;
-5. refresh connected components INCREMENTALLY: the prior assignment
+5. COMPACT periodically: :meth:`IncrementalRecon.compact` folds committed
+   batch dirs into one consolidated dir (covers.json manifest + commit
+   marker — reads stay consistent at every crash point), so state reads
+   and the per-ingest driver listdir stay O(batches since last compaction)
+   instead of O(all batches ever);
+6. refresh connected components INCREMENTALLY: the prior assignment
    compresses each old component to star edges (member → cluster_id, one
    edge per node), so CC runs over prior-stars ∪ the batch's match edges —
    O(corpus nodes + batch edges), never the full ever-growing edge log. A
@@ -50,11 +55,17 @@ COMMIT_MARKER = "_COMMITTED"
 class IncrementalRecon:
     def __init__(self, spark: SparkSession, work_dir: str, job_id: str,
                  match_threshold: float = S.DEFAULT_MATCH_THRESHOLD,
-                 max_block_size: int = 1000):
+                 max_block_size: int = 1000,
+                 auto_compact_every: int | None = 64):
+        """``auto_compact_every``: fold committed batch dirs into one
+        consolidated dir whenever that many are live (None disables) — keeps
+        state reads and the per-ingest listdir O(auto_compact_every) no
+        matter how many batches have ever been ingested."""
         self.spark = spark
         self.base = os.path.join(work_dir, job_id)
         self.match_threshold = match_threshold
         self.max_block_size = max_block_size
+        self.auto_compact_every = auto_compact_every
 
     def _stage(self, name: str) -> str:
         return os.path.join(self.base, f"stage_{name}")
@@ -271,6 +282,9 @@ class IncrementalRecon:
         # lose: recomputable from the log). See _refresh_clusters.
         committed = self.committed_batches()  # includes this batch now
         self._refresh_clusters(committed)
+
+        if self.auto_compact_every and len(committed) >= self.auto_compact_every:
+            self.compact()
 
         return {
             "new_entities": new_distinct,

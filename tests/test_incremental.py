@@ -384,3 +384,35 @@ def test_compaction_crash_before_cleanup_heals(spark, bundle, tmp_path):
     # next ingest heals: covered leftover removed
     inc.ingest_batch(bundle["transcripts"].limit(0), bundle["dictionary"])
     assert not os.path.isdir(f"{work}/j/batches/b0")
+
+
+def test_auto_compaction_triggers_at_threshold(spark, bundle, tmp_path):
+    """auto_compact_every=2: after the second committed batch the state
+    folds into one consolidated dir automatically, and reads are identical
+    to a twin run with auto-compaction disabled."""
+    from metadata_reconciliation_tool_spark.plans.incremental import IncrementalRecon
+    from metadata_reconciliation_tool_spark.plans.pipeline import (
+        ReconConfig,
+        ReconPipeline,
+    )
+
+    t = bundle["transcripts"]
+    b1 = t.filter(F.crc32(F.col("conv_id")) % 3 == 0)
+    b2 = t.filter(F.crc32(F.col("conv_id")) % 3 == 1)
+    b3 = t.filter(F.crc32(F.col("conv_id")) % 3 == 2)
+
+    runs = {}
+    for label, every in (("auto", 2), ("plain", None)):
+        work = str(tmp_path / label)
+        cfg = ReconConfig(job_id="j", work_dir=work, force=True, collect_metrics=False)
+        ReconPipeline(spark, cfg).run(b1, bundle["dictionary"])
+        inc = IncrementalRecon(spark, work, "j", auto_compact_every=every)
+        inc.ingest_batch(b2, bundle["dictionary"], batch_id="b0")
+        inc.ingest_batch(b3, bundle["dictionary"], batch_id="b1")
+        runs[label] = (inc, work)
+
+    auto, auto_work = runs["auto"]
+    plain, plain_work = runs["plain"]
+    assert auto.committed_batches() == ["compact000000"]
+    assert plain.committed_batches() == ["b0", "b1"]
+    assert _state_rows(spark, auto_work) == _state_rows(spark, plain_work)
