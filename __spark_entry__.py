@@ -7,9 +7,12 @@ deterministically from sf0.001 ``documents``/``customer`` parquet.
 ``queries()`` / ``oracle_sql()`` — one entry per implemented operator from
 SURVEY.md §2 plus the training-data-pipeline suite (dedup / ANN / text
 analysis), each runnable at any sf dir and oracle-checked against DuckDB on
-the same parquet. Non-SQL-expressible ops (the recon pipeline itself, SRP
-ANN, multimodal mapInPandas) have no oracle entry → driver records the
-weaker rows-only check.
+the same parquet. 51 of 52 queries carry full value-hash oracles (SRP ANN
+via emitted hyperplane literals, iterative CC via a recursive CTE,
+multimodal via analytic encode→decode round-trips, the flagship via a
+SQL-decomposed scoring variant); only ``recon_best_matches`` — the
+full-kernel flagship — is rows-only, pytest-oracled by the labeled-pair
+F1 gate and the cluster oracle instead.
 
 Float discipline: every aggregated/derived double is rounded (2dp money,
 4dp cosines, 6dp ratios) in BOTH engines so summation-order noise cannot

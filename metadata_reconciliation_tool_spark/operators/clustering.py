@@ -9,11 +9,13 @@ joins + aggregates:
 - large-star: every neighbor v > u links to m = min(N(u) ∪ {u})
 - small-star: every neighbor v ≤ u links to m (plus u itself)
 
-Converges in O(log d) rounds; per-round ``localCheckpoint`` truncates the
-lineage so the plan doesn't grow exponentially (the one driver-side loop in
-the engine, by design — SURVEY.md §4.3). Convergence detected by a
-(count, hash-sum) fingerprint — O(1) driver data per round, no collect of
-the edge set.
+Converges in O(log d) rounds; a per-round materialization boundary
+truncates the lineage so the plan doesn't grow exponentially (the one
+driver-side loop in the engine, by design — SURVEY.md §4.3) — local
+checkpoint in single-JVM runs, reliable checkpoint when a checkpoint dir
+is configured (fault-tolerance trade: functions/persist.py). Convergence
+detected by a (count, hash-sum) fingerprint — O(1) driver data per round,
+no collect of the edge set.
 
 Determinism: cluster id = lexicographic min entity_key of the component —
 identical at local[8] and local[32] (no monotonically_increasing_id).
@@ -23,6 +25,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..functions.persist import materialize
 
 
 def _fingerprint(edges: DataFrame) -> tuple[int, int]:
@@ -71,11 +75,11 @@ def connected_components(
         edges.select(F.col("left_key").alias("src"), F.col("right_key").alias("dst"))
         .filter(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint()
     )
+    e = materialize(e)
     prev = None
     for _ in range(max_iter):
-        e = _small_star(_large_star(e)).localCheckpoint()
+        e = materialize(_small_star(_large_star(e)))
         fp = _fingerprint(e)
         if fp == prev:
             break

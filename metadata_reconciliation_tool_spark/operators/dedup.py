@@ -31,32 +31,16 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
 
 def _materialize_keyed(keyed: DataFrame, reliable: bool | None = None) -> DataFrame:
     """Persist a key-projection DataFrame before it fans out into multiple
-    consumers (explode branches, both sides of a self-join).
+    consumers (explode branches, both sides of a self-join) — without a
+    boundary Catalyst's CollapseProject inlines the expensive key
+    expression into every reference (the 64-bit simhash was being
+    recomputed ~10× per doc), and a lazy persist still gets computed once
+    per join side when both sides' stages launch concurrently.
+    Mode selection (local vs reliable checkpoint, fault-tolerance trade):
+    see :func:`..functions.persist.materialize`."""
+    from ..functions.persist import materialize
 
-    Without a materialization boundary Catalyst's CollapseProject inlines
-    the (expensive) key expression into every reference — the 64-bit simhash
-    was being recomputed ~10× per doc — and a lazy persist still gets
-    computed once per join side when both sides' stages launch concurrently.
-
-    Two materialization modes (size is safe in both — the keyed projection
-    is small, id + hash key / token set — the trade is fault tolerance):
-
-    - ``reliable=False`` (default when no reliable checkpoint dir is set):
-      eager ``localCheckpoint`` — computes the projection exactly once and
-      truncates lineage, but the blocks live on executor-local storage,
-      unreplicated; on a real cluster, losing an executor mid-job makes the
-      truncated-lineage RDD unrecoverable and fails the job. Right for
-      single-JVM / short-job runs.
-    - ``reliable=True`` (default when ``spark.sparkContext.getCheckpointDir``
-      is configured, i.e. a cluster run that set one): eager ``checkpoint``
-      to the reliable (HDFS/object-store) checkpoint dir — survives executor
-      loss at the cost of one distributed write.
-    """
-    if reliable is None:
-        reliable = keyed.sparkSession.sparkContext.getCheckpointDir() is not None
-    if reliable:
-        return keyed.checkpoint(eager=True)
-    return keyed.localCheckpoint(eager=True)
+    return materialize(keyed, reliable)
 
 from ..functions.textstats import (
     doc_fingerprint,

@@ -86,3 +86,44 @@ def test_lsh_and_surname_keys_deterministic(s):
     assert lsh_keys_py(s) == lsh_keys_py(s)
     assert surname_key_py(s) == surname_key_py(s)
     assert len(lsh_keys_py(s)) in (0, 16)
+
+
+# --- scoring prefilter bound (round 3) --------------------------------------
+
+_name_tokens = st.lists(
+    st.one_of(
+        st.text(alphabet="abcdef", min_size=1, max_size=7),
+        st.sampled_from(["dr", "mr", "prof", "a", "o", "smith", "smyth"]),
+    ),
+    min_size=0,
+    max_size=5,
+)
+_sorted_name = _name_tokens.map(lambda ts: " ".join(sorted(ts)))
+
+
+@given(_sorted_name, _sorted_name)
+@settings(max_examples=2000, deadline=None)
+def test_na_upper_bound_dominates_kernel(a, b):
+    """Soundness of the scoring prefilter: the bound must NEVER fall below
+    the kernel — a violation could prune a true match (silent recall loss).
+    Small alphabet maximizes collisions/duplicates/near-typos, the regimes
+    where the bound's exact-matching and exclusion arguments are subtle."""
+    from metadata_reconciliation_tool_spark.functions.prefilter import (
+        na_upper_bound_py,
+    )
+
+    assert na_upper_bound_py(a, b) >= name_align_py(a, b) - 1e-12
+
+
+@given(text, text)
+@settings(max_examples=500, deadline=None)
+def test_na_upper_bound_arbitrary_text(a, b):
+    """The bound holds for ANY input, not just sorted fixture-like names
+    (unicode, whitespace runs, empties) — and stays in [0, 1]-ish range."""
+    from metadata_reconciliation_tool_spark.functions.prefilter import (
+        na_upper_bound_py,
+    )
+
+    ub = na_upper_bound_py(a, b)
+    assert ub >= name_align_py(a, b) - 1e-12
+    assert ub >= 0.0
