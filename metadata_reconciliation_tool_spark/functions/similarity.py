@@ -469,6 +469,10 @@ def make_scoring_batteries_udf(cutoff: float):
     34M pairs a lit column is 274 MB of constant doubles through Arrow."""
     from .prefilter import na_upper_bound_py
 
+    # cutoff <= 0 (prefilter disabled) can never prune: skip the bound
+    # entirely so the disabled mode is genuinely the plain kernel path
+    can_prune = cutoff > 0.0
+
     def fn(
         s1: pd.Series, s2: pd.Series, tlr: pd.Series, wc: pd.Series,
         boost: pd.Series,
@@ -490,7 +494,7 @@ def make_scoring_batteries_udf(cutoff: float):
                     continue  # identical, non-title token: exact (1.0, 1.0)
                 # a == b never prunes: the JVM composite's exact-equality
                 # branch scores such pairs 1.0 regardless of the kernels
-            else:
+            elif can_prune:
                 bound = na_upper_bound_py(a, b)
                 blend = 0.55 * bound + 0.25 * float(tlr_v[i]) + 0.2 * float(wc_v[i])
                 if min(blend + float(boost_v[i]), 1.0) < cutoff:

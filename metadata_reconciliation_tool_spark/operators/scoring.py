@@ -86,7 +86,10 @@ def score_pairs(
     reference's P6 "successful match" bar (api.py:150), so every decision
     any consumer makes — ``is_match`` (>= threshold), best-match/job-status
     filters (> 0.5) — is identical with the prefilter on or off
-    (parity-tested). For pruned rows the emitted ``score`` is the upper
+    (parity-tested). A caller whose decision bar sits BELOW 0.5 must pass
+    ``prune_cutoff <= bar`` — ReconPipeline/IncrementalRecon plumb
+    ``min(match_threshold, success_threshold)`` through for exactly this
+    reason. For pruned rows the emitted ``score`` is the upper
     bound itself (< prune_cutoff, marked ``score_pruned=true``) and
     ``jaro_winkler``/``name_align`` are null; all other columns
     (token_lev_ratio, jaccard, wikidata_confidence, bands-of-emitted-score)

@@ -56,16 +56,22 @@ class IncrementalRecon:
     def __init__(self, spark: SparkSession, work_dir: str, job_id: str,
                  match_threshold: float = S.DEFAULT_MATCH_THRESHOLD,
                  max_block_size: int = 1000,
-                 auto_compact_every: int | None = 64):
+                 auto_compact_every: int | None = 64,
+                 success_threshold: float = 0.5):
         """``auto_compact_every``: fold committed batch dirs into one
         consolidated dir whenever that many are live (None disables) — keeps
         state reads and the per-ingest listdir O(auto_compact_every) no
-        matter how many batches have ever been ingested."""
+        matter how many batches have ever been ingested.
+        ``success_threshold``: the P6 decision bar downstream consumers
+        filter on — the scoring prefilter's prune cutoff is clamped to
+        min(match_threshold, success_threshold) so pruning never crosses a
+        decision boundary (must match the ReconConfig of the bootstrap)."""
         self.spark = spark
         self.base = os.path.join(work_dir, job_id)
         self.match_threshold = match_threshold
         self.max_block_size = max_block_size
         self.auto_compact_every = auto_compact_every
+        self.success_threshold = success_threshold
 
     def _stage(self, name: str) -> str:
         return os.path.join(self.base, f"stage_{name}")
@@ -111,7 +117,7 @@ class IncrementalRecon:
             if os.path.isdir(d):
                 shutil.rmtree(d)
 
-    def compact(self) -> str | None:
+    def compact(self, keep: list[str] | None = None) -> str | None:
         """Fold all committed batch dirs into ONE consolidated dir (round-2
         verdict item 4: state reads were a union of bootstrap + every batch
         dir ever committed — thousands of ingests → a small-file/parquet-
@@ -132,16 +138,20 @@ class IncrementalRecon:
            the next ingest/compact entry via :meth:`_cleanup_covered`).
 
         A later compaction may cover an earlier compact dir like any batch.
+        ``keep`` batch ids are left live (auto-compaction keeps the batch
+        just ingested out of the fold so the delta frames returned to the
+        caller keep pointing at files that still exist).
         Returns the new dir's id, or None if there is nothing to fold."""
         self._cleanup_covered()
-        active = self.committed_batches()
+        active = [b for b in self.committed_batches() if b not in set(keep or [])]
         if len(active) < 2:
             return None
         # make clusters reflect everything first so the reflect sidecar can
         # be rewritten in terms of the consolidated id
+        committed = self.committed_batches()
         reflected = self._clusters_reflect()
-        if reflected is None or set(active) != set(reflected):
-            self._refresh_clusters(active)
+        if reflected is None or set(committed) != set(reflected):
+            self._refresh_clusters(committed)
         existing = set(self._committed_raw()) | self._covered()
         n = 0
         while f"compact{n:06d}" in existing:
@@ -243,6 +253,19 @@ class IncrementalRecon:
                 "new_scores": spark.read.parquet(os.path.join(bdir, "scoring")),
                 "clusters": spark.read.parquet(self._stage("clusters")),
             }
+        if batch_id in self._covered():
+            # redelivery of a batch that compaction has already folded away:
+            # the batch IS fully applied (its rows live in the consolidated
+            # dir) but its per-batch delta no longer exists separately.
+            # No-op with empty delta frames of the state schema — re-running
+            # the ingest would write an empty committed dir under an id the
+            # manifests mask forever, and downstream would see a phantom
+            # empty batch.
+            return {
+                "new_entities": self._read_state("entities_distinct").limit(0),
+                "new_scores": self._read_state("scoring").limit(0),
+                "clusters": spark.read.parquet(self._stage("clusters")),
+            }
 
         old_distinct = self._read_state("entities_distinct")
 
@@ -267,7 +290,11 @@ class IncrementalRecon:
             touching_new.withColumn("pair_kind", F.lit("self")),
             allowMissingColumns=True,
         )
-        new_scores = S.score_pairs(new_pairs, self.match_threshold)
+        new_scores = S.score_pairs(
+            new_pairs,
+            self.match_threshold,
+            prune_cutoff=min(self.match_threshold, self.success_threshold),
+        )
 
         # atomic append: batch sub-dirs first (overwrite = crash-rerun safe),
         # commit marker only after both writes succeed
@@ -284,11 +311,17 @@ class IncrementalRecon:
         self._refresh_clusters(committed)
 
         if self.auto_compact_every and len(committed) >= self.auto_compact_every:
-            self.compact()
+            # keep THIS batch's dir out of the fold: the delta frames
+            # returned below read it, and compaction deletes covered dirs —
+            # folding it would hand the caller plans over vanished files
+            self.compact(keep=[batch_id])
 
+        # return read-backs of the committed delta (not the compute plans:
+        # those lazily re-read the pre-batch state union, whose dirs a later
+        # compaction is free to delete)
         return {
-            "new_entities": new_distinct,
-            "new_scores": new_scores,
+            "new_entities": spark.read.parquet(os.path.join(bdir, "entities_distinct")),
+            "new_scores": spark.read.parquet(os.path.join(bdir, "scoring")),
             "clusters": spark.read.parquet(self._stage("clusters")),
         }
 

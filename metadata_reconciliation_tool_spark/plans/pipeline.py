@@ -143,7 +143,15 @@ class ReconPipeline:
         one fused-UDF Arrow crossing."""
 
         def compute():
-            return S.score_pairs(pairs, self.cfg.match_threshold)
+            # the prune cutoff must sit at or below EVERY decision bar a
+            # consumer applies — match_threshold (is_match) AND the P6
+            # success_threshold (best-match / job-status filters), which is
+            # configurable below score_pairs' 0.5 default
+            return S.score_pairs(
+                pairs,
+                self.cfg.match_threshold,
+                prune_cutoff=min(self.cfg.match_threshold, self.cfg.success_threshold),
+            )
 
         return self._run_stage("scoring", compute)
 

@@ -26,19 +26,24 @@ def _is_table_identifier(path: str) -> bool:
     return "/" not in path and path.count(".") >= 2
 
 
-# Probe result per SparkSession (keyed by id — sessions are long-lived and
-# few). The probe issues blocking `SHOW NAMESPACES` SQL round-trips, so
-# running it on EVERY write_stage(fmt=None) call would put one or more
-# driver-side catalog queries in front of each stage write.
-_ICEBERG_PROBE_CACHE: dict[int, bool] = {}
+# Probe result per Spark application (keyed by applicationId — unique per
+# context and stable for its lifetime, unlike id(spark), which CPython can
+# reuse for a NEW session after the old one is garbage-collected). The
+# probe issues blocking `SHOW NAMESPACES` SQL round-trips, so running it on
+# EVERY write_stage(fmt=None) call would put one or more driver-side
+# catalog queries in front of each stage write.
+_ICEBERG_PROBE_CACHE: dict[str, bool] = {}
 
 
 def iceberg_available(spark: SparkSession, refresh: bool = False) -> bool:
     """Probe for a usable Iceberg catalog: some ``spark.sql.catalog.<name>``
     conf points at an Iceberg implementation AND the class actually loads
-    (config without the runtime jar raises on first use). Cached per
-    SparkSession — pass ``refresh=True`` after reconfiguring catalogs."""
-    key = id(spark)
+    (config without the runtime jar raises on first use). Cached per Spark
+    application — pass ``refresh=True`` after reconfiguring catalogs."""
+    try:
+        key = spark.sparkContext.applicationId
+    except Exception:  # pragma: no cover - session without a live context
+        return _probe_iceberg(spark)
     if not refresh and key in _ICEBERG_PROBE_CACHE:
         return _ICEBERG_PROBE_CACHE[key]
     _ICEBERG_PROBE_CACHE[key] = _probe_iceberg(spark)

@@ -387,9 +387,54 @@ def test_compaction_crash_before_cleanup_heals(spark, bundle, tmp_path):
 
 
 def test_auto_compaction_triggers_at_threshold(spark, bundle, tmp_path):
-    """auto_compact_every=2: after the second committed batch the state
-    folds into one consolidated dir automatically, and reads are identical
-    to a twin run with auto-compaction disabled."""
+    """auto_compact_every=2: once at least 2 batches are committed AND a
+    newer live batch exists, the older ones fold into one consolidated dir
+    from inside ingest_batch — the just-ingested batch stays live so the
+    RETURNED delta frames remain evaluable — and reads stay identical to a
+    twin run with auto-compaction disabled."""
+    from metadata_reconciliation_tool_spark.plans.incremental import IncrementalRecon
+    from metadata_reconciliation_tool_spark.plans.pipeline import (
+        ReconConfig,
+        ReconPipeline,
+    )
+
+    t = bundle["transcripts"]
+    b1 = t.filter(F.crc32(F.col("conv_id")) % 4 == 0)
+    b2 = t.filter(F.crc32(F.col("conv_id")) % 4 == 1)
+    b3 = t.filter(F.crc32(F.col("conv_id")) % 4 == 2)
+    b4 = t.filter(F.crc32(F.col("conv_id")) % 4 == 3)
+
+    runs = {}
+    deltas = {}
+    for label, every in (("auto", 2), ("plain", None)):
+        work = str(tmp_path / label)
+        cfg = ReconConfig(job_id="j", work_dir=work, force=True, collect_metrics=False)
+        ReconPipeline(spark, cfg).run(b1, bundle["dictionary"])
+        inc = IncrementalRecon(spark, work, "j", auto_compact_every=every)
+        inc.ingest_batch(b2, bundle["dictionary"], batch_id="b0")
+        inc.ingest_batch(b3, bundle["dictionary"], batch_id="b1")
+        out = inc.ingest_batch(b4, bundle["dictionary"], batch_id="b2")
+        # the RETURNED delta frames must stay evaluable AFTER the ingest
+        # that triggered auto-compaction (a lazy plan over the pre-batch
+        # state union would read dirs compaction just deleted)
+        deltas[label] = (out["new_entities"].count(), out["new_scores"].count())
+        runs[label] = (inc, work)
+
+    auto, auto_work = runs["auto"]
+    plain, plain_work = runs["plain"]
+    # b0+b1 folded; b2 (the live batch backing the returned deltas) kept
+    assert auto.committed_batches() == ["b2", "compact000000"]
+    assert plain.committed_batches() == ["b0", "b1", "b2"]
+    assert deltas["auto"] == deltas["plain"]
+    assert _state_rows(spark, auto_work) == _state_rows(spark, plain_work)
+
+
+def test_redelivery_of_compacted_batch_is_noop(spark, bundle, tmp_path):
+    """Redelivery of a batch whose dir compaction already folded away must
+    be a no-op with empty delta frames — NOT a re-ingest that writes a
+    phantom empty committed dir under a manifest-masked id."""
+    import os
+
     from metadata_reconciliation_tool_spark.plans.incremental import IncrementalRecon
     from metadata_reconciliation_tool_spark.plans.pipeline import (
         ReconConfig,
@@ -401,18 +446,20 @@ def test_auto_compaction_triggers_at_threshold(spark, bundle, tmp_path):
     b2 = t.filter(F.crc32(F.col("conv_id")) % 3 == 1)
     b3 = t.filter(F.crc32(F.col("conv_id")) % 3 == 2)
 
-    runs = {}
-    for label, every in (("auto", 2), ("plain", None)):
-        work = str(tmp_path / label)
-        cfg = ReconConfig(job_id="j", work_dir=work, force=True, collect_metrics=False)
-        ReconPipeline(spark, cfg).run(b1, bundle["dictionary"])
-        inc = IncrementalRecon(spark, work, "j", auto_compact_every=every)
-        inc.ingest_batch(b2, bundle["dictionary"], batch_id="b0")
-        inc.ingest_batch(b3, bundle["dictionary"], batch_id="b1")
-        runs[label] = (inc, work)
+    work = str(tmp_path / "inc")
+    cfg = ReconConfig(job_id="j", work_dir=work, force=True, collect_metrics=False)
+    ReconPipeline(spark, cfg).run(b1, bundle["dictionary"])
+    inc = IncrementalRecon(spark, work, "j")
+    inc.ingest_batch(b2, bundle["dictionary"], batch_id="s000001")
+    inc.ingest_batch(b3, bundle["dictionary"], batch_id="s000002")
+    inc.compact()
+    assert inc.committed_batches() == ["compact000000"]
+    before = _state_rows(spark, work)
 
-    auto, auto_work = runs["auto"]
-    plain, plain_work = runs["plain"]
-    assert auto.committed_batches() == ["compact000000"]
-    assert plain.committed_batches() == ["b0", "b1"]
-    assert _state_rows(spark, auto_work) == _state_rows(spark, plain_work)
+    out = inc.ingest_batch(b2, bundle["dictionary"], batch_id="s000001")
+    assert out["new_entities"].count() == 0
+    assert out["new_scores"].count() == 0
+    assert out["clusters"].count() > 0
+    assert not os.path.isdir(f"{work}/j/batches/s000001")  # no phantom dir
+    assert inc.committed_batches() == ["compact000000"]
+    assert _state_rows(spark, work) == before

@@ -190,3 +190,29 @@ def test_prefilter_prunes_majority_of_self_pairs(spark, bundle):
     total = scored.count()
     pruned = scored.filter("score_pruned").count()
     assert pruned / total > 0.3, f"only {pruned}/{total} pruned"
+
+
+def test_prune_cutoff_respects_lower_decision_bar(spark, bundle):
+    """A consumer bar below 0.5 (configurable success_threshold) must be
+    respected: with prune_cutoff=0.45 no pruned row may carry a score at or
+    above 0.45, and the >0.45 filter set must match a prefilter-off run —
+    the emitted upper bound must never push a pruned pair over the bar."""
+    from metadata_reconciliation_tool_spark.operators import blocking as B
+    from metadata_reconciliation_tool_spark.operators import extract as E
+    from metadata_reconciliation_tool_spark.operators import scoring as S
+
+    ents = E.distinct_entities(E.extract_entities(bundle["transcripts"]))
+    ekeyed = B.add_block_keys(ents)
+    pairs, _ = B.self_candidates(ekeyed, 1000)
+    pairs = pairs.withColumn("pair_kind", F.lit("self")).localCheckpoint()
+
+    bar = 0.45
+    on = S.score_pairs(pairs, prune_cutoff=bar).cache()
+    off = S.score_pairs(pairs, prefilter=False).cache()
+    assert on.filter(F.col("score_pruned") & (F.col("score") >= bar)).count() == 0
+    key = ["left_key", "right_key"]
+    over_on = set(map(tuple, on.filter(F.col("score") > bar).select(*key).collect()))
+    over_off = set(map(tuple, off.filter(F.col("score") > bar).select(*key).collect()))
+    assert over_on == over_off
+    on.unpersist()
+    off.unpersist()

@@ -112,7 +112,9 @@ def test_iceberg_probe_cached_per_session(spark):
     SparkSession, not once per write_stage call."""
     from metadata_reconciliation_tool_spark.sources import writers as W
 
-    W._ICEBERG_PROBE_CACHE.pop(id(spark), None)
+    key = spark.sparkContext.applicationId  # the cache key (stable per app,
+    # unlike id(spark), which CPython reuses after GC)
+    W._ICEBERG_PROBE_CACHE.pop(key, None)
     calls = {"n": 0}
     orig = W._probe_iceberg
 
@@ -130,4 +132,4 @@ def test_iceberg_probe_cached_per_session(spark):
         assert calls["n"] == 2
     finally:
         W._probe_iceberg = orig
-        W._ICEBERG_PROBE_CACHE.pop(id(spark), None)
+        W._ICEBERG_PROBE_CACHE.pop(key, None)
