@@ -48,6 +48,14 @@ class ReconConfig:
     max_block_size: int = 1000
     force: bool = False  # recompute even if stage outputs exist
     collect_metrics: bool = True  # per-stage row counts cost one extra job each
+    # blocking's ONLY consumer is scoring, so by default the candidate pairs
+    # are FUSED into the scoring stage (Catalyst pipelines the join straight
+    # into the scoring projection) instead of being checkpointed — writing
+    # and re-reading a pair table as large as the scoring output buys no
+    # reuse, only a resume point in the middle of one logical step. Set True
+    # to restore the round-2 behavior (finer resume granularity for
+    # debugging: a crash during scoring resumes from materialized pairs).
+    checkpoint_blocking: bool = False
 
 
 class ReconPipeline:
@@ -106,9 +114,17 @@ class ReconPipeline:
         )
 
     def blocking(self, distinct: DataFrame, dictionary: DataFrame) -> DataFrame:
-        """One stage for BOTH pair kinds: entity↔dictionary (pair_kind=
-        'dict') and entity↔entity ('self'). A single stage table halves the
-        checkpoint writes and lets scoring make one pass over all pairs."""
+        """One pass for BOTH pair kinds: entity↔dictionary (pair_kind=
+        'dict') and entity↔entity ('self'), so scoring makes one pass over
+        all pairs.
+
+        By default (``checkpoint_blocking=False``) the pair frame is
+        returned LAZY and fused into the scoring stage: blocking's only
+        consumer is scoring, so checkpointing a pair table as large as the
+        scoring output just pays a full write + re-read for a mid-step
+        resume point (measured ~20 s of the sf0.1 pipeline wall). Resume
+        still works — a crash during scoring reruns blocking as part of the
+        scoring recompute, deterministically."""
         ekeyed = B.add_block_keys(distinct)
         # multi-source union semantics: default source + per-(norm_label,
         # source) A3 dedup (reconciliation_engine.py:388-437)
@@ -129,7 +145,9 @@ class ReconPipeline:
                 allowMissingColumns=True,
             )
 
-        return self._run_stage("blocking", compute)
+        if self.cfg.checkpoint_blocking:
+            return self._run_stage("blocking", compute)
+        return compute()
 
     def scoring(
         self,

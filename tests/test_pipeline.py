@@ -107,3 +107,36 @@ def test_per_rule_recall(spark, bundle, pipeline_out):
         .collect()
     )
     assert missed == [], f"missed positives by rule: {missed}"
+
+
+def test_fused_blocking_equals_checkpointed(spark, bundle, tmp_path):
+    """checkpoint_blocking=False (the default: pairs fused into the scoring
+    stage, no mid-step pair checkpoint) must produce byte-identical scoring
+    /clusters/best to the checkpointed round-2 behavior, and must not write
+    a stage_blocking dir."""
+    import os
+
+    from metadata_reconciliation_tool_spark.plans.pipeline import (
+        ReconConfig,
+        ReconPipeline,
+    )
+
+    outs = {}
+    for label, ckpt in (("fused", False), ("ckpt", True)):
+        work = str(tmp_path / label)
+        cfg = ReconConfig(
+            job_id="j", work_dir=work, force=True, collect_metrics=False,
+            checkpoint_blocking=ckpt,
+        )
+        outs[label] = (ReconPipeline(spark, cfg).run(
+            bundle["transcripts"], bundle["dictionary"]
+        ), work)
+
+    fused, fused_work = outs["fused"]
+    ckptd, ckpt_work = outs["ckpt"]
+    assert not os.path.isdir(f"{fused_work}/j/stage_blocking")
+    assert os.path.isdir(f"{ckpt_work}/j/stage_blocking")
+    for name in ("scores", "clusters", "best"):
+        a = sorted(map(tuple, fused[name].collect()))
+        b = sorted(map(tuple, ckptd[name].collect()))
+        assert a == b, f"{name} diverged between fused and checkpointed"
