@@ -21,8 +21,12 @@ import os
 import subprocess
 import sys
 
-ENTITIES = os.environ.get("SPARK_GRAFT_BENCH_ENTITIES", "4000")
-CONVS = os.environ.get("SPARK_GRAFT_BENCH_CONVS", "40000")
+# default input = the recorded protocol (1.28M turns → 34.2M pairs): large
+# enough that the ~29 s serial floor (driver scheduling, CC barriers,
+# worker warmup) doesn't dominate the 4N wall — a smaller input measures
+# the floor, not the engine (BENCH.md Amdahl analysis)
+ENTITIES = os.environ.get("SPARK_GRAFT_BENCH_ENTITIES", "8000")
+CONVS = os.environ.get("SPARK_GRAFT_BENCH_CONVS", "80000")
 
 
 def run_bench(cpus: int, sf_dir: str) -> dict:
