@@ -126,13 +126,16 @@ def na_upper_bound_py(a: str, b: str) -> float:
     else:
         ubs = []
         for t in small_nc:
+            # No early exit: t is absent from big (t not in sb), so no
+            # residual u equals t and no bound reaches a provable ceiling
+            # of 1.0 — breaking on "close to 1" was unsound (a later u can
+            # carry a strictly higher bound AND true score; see
+            # test_prefilter.py long-token soundness cases).
             best = 0.0
             for u in residual:
                 s = token_pair_upper_bound_py(t, u)
                 if s > best:
                     best = s
-                    if best > 0.99:
-                        break
             ubs.append(best)
         mean_ub = (exact_credit + sum(ubs)) / ns
         weakest = min(ubs)

@@ -77,6 +77,51 @@ def test_name_align_upper_bound_sound():
     assert violations == [], f"bound below kernel for: {violations[:5]}"
 
 
+def test_name_align_upper_bound_sound_long_tokens():
+    """ADVICE r3 (high): the old `best > 0.99` early break in
+    na_upper_bound_py stopped the per-token max before a later residual
+    token with a strictly higher bound AND true score — only reachable when
+    per-token bounds exceed 0.99, i.e. tokens >20 chars (long org /
+    transliterated names). This fuzz drives 20–150-char tokens with heavy
+    shared prefixes so multiple residual bounds land above 0.99."""
+    from metadata_reconciliation_tool_spark.functions.prefilter import (
+        na_upper_bound_py,
+    )
+    from metadata_reconciliation_tool_spark.functions.similarity import name_align_py
+
+    rng = random.Random(23)
+
+    def long_tok() -> str:
+        n = rng.choice([20, 40, 80, 120, 150])
+        base = "a" * n
+        # 0–3 point mutations near the tail keep the Winkler prefix long
+        out = list(base)
+        for _ in range(rng.randrange(0, 4)):
+            i = rng.randrange(n // 2, n)
+            out[i] = chr(rng.randrange(97, 100))
+        return "".join(out)
+
+    pairs = []
+    for _ in range(3000):
+        na, nb = rng.randrange(1, 4), rng.randrange(1, 4)
+        a = " ".join(sorted(long_tok() for _ in range(na)))
+        b = " ".join(sorted(long_tok() for _ in range(nb)))
+        pairs.append((a, b))
+    # the advisor's shape: one small token vs several near-identical long
+    # residuals whose bounds all clear 0.99 — order must not matter
+    t150 = "a" * 150
+    variants = [t150[:-k] + "b" * k for k in (1, 2, 3, 5)]
+    for i in range(len(variants)):
+        for j in range(len(variants)):
+            pairs.append((variants[i], " ".join(sorted([variants[j], t150]))))
+    bad = [
+        (a[:40], b[:40], na_upper_bound_py(a, b), name_align_py(a, b))
+        for a, b in pairs
+        if na_upper_bound_py(a, b) < name_align_py(a, b) - 1e-12
+    ]
+    assert bad == [], f"long-token bound below kernel: {bad[:5]}"
+
+
 def test_token_pair_upper_bound_sound():
     from metadata_reconciliation_tool_spark.functions.prefilter import (
         token_pair_upper_bound_py,
