@@ -1533,8 +1533,11 @@ def _recon_sql(spark, sf):
       Python kernels — they stay covered by the full-kernel flagship's
       pytest oracle);
     - scoring: whole-string Jaro-Winkler on the token-sorted forms (DuckDB's
-      ``jaro_winkler_similarity`` is float-parity with ``jaro_winkler_py`` —
-      pinned in test_prefilter.py), token-Levenshtein ratio, and the F7
+      ``jaro_winkler_similarity`` is float-parity with ``jaro_winkler_py``
+      for non-empty inputs — pinned in test_prefilter.py::
+      test_duckdb_jaro_winkler_float_parity; the sole divergence, both-empty
+      → 0.0 vs 1.0, is unreachable past the P1 empty-name filter), the
+      token-Levenshtein ratio, and the F7
       confidence — composite 0.55·jw + 0.25·tlr + 0.20·F7, exact-equality
       hard 1.0, P6 success bar > 0.5 on the rounded score;
     - best match: rank-1 per entity, (score desc, auth_id) tie-break.

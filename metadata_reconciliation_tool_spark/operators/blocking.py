@@ -36,6 +36,9 @@ from ..functions.similarity import lsh_keys_udf, surname_key_udf
 
 PASS_PRIORITY = {"prefix": 1, "metaphone": 2, "lsh": 3}
 PREFIX_LEN = 6
+# dictionary rows (pre-explosion) at or below which the exploded key frame
+# is broadcast instead of shuffle-joined — see dictionary_candidates
+DICT_BROADCAST_MAX_ROWS = 2_000_000
 
 
 def add_block_keys(
@@ -111,9 +114,10 @@ def _pass_keys(
 def dictionary_candidates(
     entities_keyed: DataFrame,
     dictionary_keyed: DataFrame,
-    broadcast_max_rows: int = 2_000_000,
+    broadcast_max_rows: int = DICT_BROADCAST_MAX_ROWS,
     broadcast: bool | None = None,
     shuffle_salts: int = 16,
+    dictionary_rows: int | None = None,
 ) -> DataFrame:
     """Entity ↔ authority-dictionary candidate pairs (J3).
 
@@ -121,7 +125,10 @@ def dictionary_candidates(
     broadcast would OOM every executor on a realistically-sized authority
     dictionary — Wikidata labels ≈ 10⁸ rows × ~18 exploded pass keys):
 
-    - ``broadcast=None`` (auto): one count() of the dictionary decides —
+    - ``broadcast=None`` (auto): a BOUNDED count probe of the dictionary
+      decides (``limit(max+1).count()`` — the scan stops at max+1 rows, so
+      the probe never scans a 10⁸-row table end-to-end; callers that know
+      the size pass ``dictionary_rows`` and skip the probe job entirely) —
       at or below ``broadcast_max_rows`` rows (pre-explosion) the exploded
       key frame is broadcast and the 10^12-row entity side never shuffles;
       above it, a shuffle hash join on (block_pass, block_key).
@@ -172,7 +179,19 @@ def dictionary_candidates(
         *[f"right_{c}" for c in source_cols],
     ]
     if broadcast is None:
-        broadcast = dictionary_keyed.count() <= broadcast_max_rows
+        if dictionary_rows is not None:
+            # caller-known size (e.g. cached across incremental ingests) —
+            # no probe job at all (ADVICE r3 low: the auto-gate ran an eager
+            # count per call even for trivially small dictionaries)
+            broadcast = dictionary_rows <= broadcast_max_rows
+        else:
+            # bounded probe: scan stops once max_rows+1 rows are found —
+            # O(broadcast_max_rows) regardless of true dictionary size,
+            # instead of a full count of a possibly-10⁸-row table
+            broadcast = (
+                dictionary_keyed.limit(broadcast_max_rows + 1).count()
+                <= broadcast_max_rows
+            )
     if broadcast:
         joined = e.join(F.broadcast(d), ["block_pass", "block_key"]).select(*out_cols)
     else:

@@ -54,24 +54,61 @@ COMMIT_MARKER = "_COMMITTED"
 
 class IncrementalRecon:
     def __init__(self, spark: SparkSession, work_dir: str, job_id: str,
-                 match_threshold: float = S.DEFAULT_MATCH_THRESHOLD,
+                 match_threshold: float | None = None,
                  max_block_size: int = 1000,
                  auto_compact_every: int | None = 64,
-                 success_threshold: float = 0.5):
+                 success_threshold: float | None = None):
         """``auto_compact_every``: fold committed batch dirs into one
         consolidated dir whenever that many are live (None disables) — keeps
         state reads and the per-ingest listdir O(auto_compact_every) no
         matter how many batches have ever been ingested.
-        ``success_threshold``: the P6 decision bar downstream consumers
-        filter on — the scoring prefilter's prune cutoff is clamped to
-        min(match_threshold, success_threshold) so pruning never crosses a
-        decision boundary (must match the ReconConfig of the bootstrap)."""
+
+        Thresholds (ADVICE r3 medium): the bootstrap
+        :class:`~.pipeline.ReconPipeline` persists its decision bars in the
+        job dir's ``job_config.json``; by default (``None``) they are READ
+        BACK here, so an incremental session can never silently diverge from
+        the bars the checkpointed state was scored under. Passing a value
+        that CONTRADICTS the persisted one raises — pruned rows carry
+        upper-bound scores valid only below the bootstrap's bar.
+        ``success_threshold`` is the P6 bar downstream consumers filter on;
+        the scoring prefilter's prune cutoff is clamped to
+        min(match_threshold, success_threshold)."""
         self.spark = spark
         self.base = os.path.join(work_dir, job_id)
-        self.match_threshold = match_threshold
+        persisted = self._read_job_config()
+
+        def _resolve(name: str, given: float | None, default: float) -> float:
+            stored = persisted.get(name)
+            if given is None:
+                return stored if stored is not None else default
+            if stored is not None and abs(given - stored) > 1e-12:
+                raise ValueError(
+                    f"{name}={given} contradicts the bootstrap's persisted "
+                    f"{name}={stored} (job_config.json) — incremental batches "
+                    "must score under the same decision bars as the "
+                    "checkpointed state"
+                )
+            return given
+
+        self.match_threshold = _resolve(
+            "match_threshold", match_threshold, S.DEFAULT_MATCH_THRESHOLD
+        )
+        self.success_threshold = _resolve("success_threshold", success_threshold, 0.5)
         self.max_block_size = max_block_size
         self.auto_compact_every = auto_compact_every
-        self.success_threshold = success_threshold
+        # bounded-probe result for the dictionary broadcast gate, cached per
+        # instance: the authority dictionary is stable for a job's lifetime
+        # (state was scored against it), so one probe covers every ingest
+        self._dict_broadcast: bool | None = None
+
+    def _read_job_config(self) -> dict:
+        import json
+
+        try:
+            with open(os.path.join(self.base, "job_config.json")) as fh:
+                return json.load(fh)
+        except (OSError, ValueError):
+            return {}
 
     def _stage(self, name: str) -> str:
         return os.path.join(self.base, f"stage_{name}")
@@ -277,10 +314,16 @@ class IncrementalRecon:
 
         nkeyed = B.add_block_keys(new_distinct)
         dkeyed = B.add_block_keys(E.prepare_dictionary(dictionary), "norm_label")
-        # new ↔ dictionary
-        dict_pairs = B.dictionary_candidates(nkeyed, dkeyed).withColumn(
-            "pair_kind", F.lit("dict")
-        )
+        # new ↔ dictionary; the broadcast-gate probe runs once per instance,
+        # not once per ingest (the job's dictionary is stable)
+        if self._dict_broadcast is None:
+            self._dict_broadcast = (
+                dkeyed.limit(B.DICT_BROADCAST_MAX_ROWS + 1).count()
+                <= B.DICT_BROADCAST_MAX_ROWS
+            )
+        dict_pairs = B.dictionary_candidates(
+            nkeyed, dkeyed, broadcast=self._dict_broadcast
+        ).withColumn("pair_kind", F.lit("dict"))
         # new ↔ (old ∪ new), old↔old never materialized
         all_keyed = B.add_block_keys(old_distinct).unionByName(nkeyed)
         touching_new, _dropped = B.asymmetric_candidates(

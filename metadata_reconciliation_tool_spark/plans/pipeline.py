@@ -212,7 +212,29 @@ class ReconPipeline:
 
     # -- full run --------------------------------------------------------------
 
+    def _write_job_config(self) -> None:
+        """Persist the decision thresholds next to the stage tables so later
+        :class:`~..plans.incremental.IncrementalRecon` sessions inherit them
+        instead of trusting the caller to repeat them (ADVICE r3 medium: a
+        bootstrap bar below 0.5 silently diverged from the incremental 0.5
+        default — pruned rows carried upper-bound scores above the consumer's
+        bar, flipping best-match/job-status decisions per batch)."""
+        import json
+
+        job_dir = os.path.join(self.cfg.work_dir, self.cfg.job_id)
+        os.makedirs(job_dir, exist_ok=True)
+        with open(os.path.join(job_dir, "job_config.json"), "w") as fh:
+            json.dump(
+                {
+                    "match_threshold": self.cfg.match_threshold,
+                    "success_threshold": self.cfg.success_threshold,
+                    "max_block_size": self.cfg.max_block_size,
+                },
+                fh,
+            )
+
     def run(self, transcripts: DataFrame, dictionary: DataFrame) -> dict[str, DataFrame]:
+        self._write_job_config()
         ents = self.entities(transcripts)
         distinct = self.entities_distinct(ents)
         pairs = self.blocking(distinct, dictionary)

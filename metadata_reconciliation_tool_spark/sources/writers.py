@@ -18,11 +18,31 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+_WARNED_AMBIGUOUS: set[str] = set()
+
+
 def _is_table_identifier(path: str) -> bool:
     """Heuristic shared by all stage I/O: Iceberg targets are dotted
     multi-segment table identifiers (catalog.db.table); anything with a
     '/' — or a bare single segment like ``out``, which is a relative
-    filesystem path — is a path."""
+    filesystem path — is a path.
+
+    The single-dot no-slash case (``db.table`` — a default-catalog table
+    identifier — vs ``out.parquet`` — a relative file path) is genuinely
+    ambiguous; it is treated as a PATH (the pre-round-3 behavior would have
+    treated it as a table) and warned once per target (ADVICE r3 low: the
+    reclassification silently wrote a local file instead of a table). Use a
+    fully-qualified ``catalog.db.table`` for Iceberg targets."""
+    if "/" not in path and path.count(".") == 1 and path not in _WARNED_AMBIGUOUS:
+        _WARNED_AMBIGUOUS.add(path)
+        import warnings
+
+        warnings.warn(
+            f"stage target {path!r} is ambiguous (single-dot, no slash): "
+            "treating it as a relative filesystem path, NOT a table "
+            "identifier — use catalog.db.table for an Iceberg target",
+            stacklevel=3,
+        )
     return "/" not in path and path.count(".") >= 2
 
 

@@ -463,3 +463,69 @@ def test_redelivery_of_compacted_batch_is_noop(spark, bundle, tmp_path):
     assert not os.path.isdir(f"{work}/j/batches/s000001")  # no phantom dir
     assert inc.committed_batches() == ["compact000000"]
     assert _state_rows(spark, work) == before
+
+
+def test_thresholds_persisted_at_bootstrap_and_inherited(spark, bundle, tmp_path):
+    """ADVICE r3 medium: a bootstrap scored under a non-default decision bar
+    must not silently diverge from an incremental session constructed with
+    defaults — the bars are persisted in job_config.json and read back."""
+    import pytest
+
+    from metadata_reconciliation_tool_spark.plans.incremental import IncrementalRecon
+    from metadata_reconciliation_tool_spark.plans.pipeline import (
+        ReconConfig,
+        ReconPipeline,
+    )
+
+    t = bundle["transcripts"]
+    work = str(tmp_path / "inc")
+    cfg = ReconConfig(
+        job_id="j", work_dir=work, force=True, collect_metrics=False,
+        match_threshold=0.65, success_threshold=0.42,
+    )
+    ReconPipeline(spark, cfg).run(
+        t.filter(F.crc32(F.col("conv_id")) % 2 == 0), bundle["dictionary"]
+    )
+
+    # default-constructed incremental inherits the persisted bars
+    inc = IncrementalRecon(spark, work, "j")
+    assert inc.match_threshold == 0.65
+    assert inc.success_threshold == 0.42
+
+    # explicitly repeating the persisted bars is fine
+    ok = IncrementalRecon(spark, work, "j", match_threshold=0.65,
+                          success_threshold=0.42)
+    assert ok.success_threshold == 0.42
+
+    # contradicting them raises instead of silently rescoring under new bars
+    with pytest.raises(ValueError, match="success_threshold"):
+        IncrementalRecon(spark, work, "j", success_threshold=0.5)
+    with pytest.raises(ValueError, match="match_threshold"):
+        IncrementalRecon(spark, work, "j", match_threshold=0.8)
+
+    # no job_config.json (state from an older build) → module defaults
+    legacy = IncrementalRecon(spark, str(tmp_path / "nothere"), "j")
+    assert legacy.match_threshold == 0.70
+    assert legacy.success_threshold == 0.5
+
+
+def test_ambiguous_single_dot_stage_target_warns(spark):
+    """ADVICE r3 low: db.table (single dot, no slash) is treated as a
+    relative path — but loudly, once."""
+    import warnings
+
+    from metadata_reconciliation_tool_spark.sources import writers as W
+
+    W._WARNED_AMBIGUOUS.discard("db.table")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        assert W._is_table_identifier("db.table") is False
+        assert W._is_table_identifier("catalog.db.table") is True
+        assert W._is_table_identifier("out/db.table") is False
+    msgs = [str(w.message) for w in caught]
+    assert any("ambiguous" in m for m in msgs)
+    # warned once per target only
+    with warnings.catch_warnings(record=True) as again:
+        warnings.simplefilter("always")
+        W._is_table_identifier("db.table")
+    assert not [w for w in again if "ambiguous" in str(w.message)]

@@ -156,6 +156,44 @@ def test_token_pair_upper_bound_sound():
     assert bad == [], f"token pair bound below kernel: {bad[:5]}"
 
 
+def test_duckdb_jaro_winkler_float_parity():
+    """Pins the claim __spark_entry__._recon_sql relies on: DuckDB's
+    jaro_winkler_similarity is float-parity with jaro_winkler_py, so the
+    SQL-decomposed flagship's oracle compares like with like (ADVICE r3
+    low: the docstring cited this test before it existed)."""
+    import duckdb
+
+    from metadata_reconciliation_tool_spark.functions.similarity import (
+        jaro_winkler_py,
+    )
+
+    rng = random.Random(31)
+    toks = ["martha", "marhta", "dixon", "dicksonx", "smith", "smyth",
+            "jon", "john", "blackwood", "stawickkel", "a", "ab", ""]
+    pairs = [(rng.choice(toks), rng.choice(toks)) for _ in range(500)]
+    for _ in range(2000):
+        a = "".join(chr(rng.randrange(97, 103)) for _ in range(rng.randrange(0, 12)))
+        b = "".join(chr(rng.randrange(97, 103)) for _ in range(rng.randrange(0, 12)))
+        pairs.append((a, b))
+    con = duckdb.connect()
+    # the ONE known divergence: both-empty → DuckDB 0.0, kernel 1.0. It can
+    # never reach the SQL-variant comparison (P1 drops null/empty names
+    # before any pair exists), so parity is asserted on everything else.
+    assert con.execute("SELECT jaro_winkler_similarity('', '')").fetchone()[0] == 0.0
+    assert jaro_winkler_py("", "") == 1.0
+    mismatches = []
+    for a, b in pairs:
+        if a == "" and b == "":
+            continue
+        got = con.execute(
+            "SELECT jaro_winkler_similarity(?, ?)", [a, b]
+        ).fetchone()[0]
+        want = jaro_winkler_py(a, b)
+        if got != want:  # exact float equality — the oracle hashes values
+            mismatches.append((a, b, got, want))
+    assert mismatches == [], f"DuckDB JW diverges: {mismatches[:5]}"
+
+
 def test_score_pairs_prefilter_parity(spark, bundle, tmp_path):
     """Full blocking output of the fixture bundle, scored with and without
     the prefilter: is_match sets identical; non-pruned rows bit-identical;
