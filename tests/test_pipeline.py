@@ -140,3 +140,25 @@ def test_fused_blocking_equals_checkpointed(spark, bundle, tmp_path):
         a = sorted(map(tuple, fused[name].collect()))
         b = sorted(map(tuple, ckptd[name].collect()))
         assert a == b, f"{name} diverged between fused and checkpointed"
+
+
+def test_best_match_label_carried_equals_dictionary_join(spark, bundle, pipeline_out):
+    """Round-3 verdict item 1: match_label now rides the pair shuffle from
+    blocking instead of a dictionary re-join (the former F.broadcast(dic)
+    was the last unconditional broadcast of a production-sized table). The
+    carried label must be bit-identical to what the old join produced."""
+    best = pipeline_out["best"]
+    dic = bundle["dictionary"].select(
+        F.col("auth_id").alias("right_key"), F.col("label").alias("want_label")
+    )
+    j = best.join(dic, "right_key", "left")
+    # every matched entity's carried label equals the dictionary's label
+    assert j.filter(
+        F.col("right_key").isNotNull()
+        & ~F.col("match_label").eqNullSafe(F.col("want_label"))
+    ).count() == 0
+    # unmatched entities carry a null label (left-join semantics preserved)
+    assert best.filter(
+        F.col("right_key").isNull() & F.col("match_label").isNotNull()
+    ).count() == 0
+    assert best.filter("right_key is not null").count() > 0
