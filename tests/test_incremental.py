@@ -529,3 +529,99 @@ def test_ambiguous_single_dot_stage_target_warns(spark):
         warnings.simplefilter("always")
         W._is_table_identifier("db.table")
     assert not [w for w in again if "ambiguous" in str(w.message)]
+
+
+def _dir_snapshot(d):
+    import os
+
+    out = {}
+    for root, _dirs, files in os.walk(d):
+        for f in files:
+            p = os.path.join(root, f)
+            out[p] = (os.path.getmtime(p), os.path.getsize(p))
+    return out
+
+
+def test_leveled_compaction_excludes_prior_consolidated_dir(spark, bundle, tmp_path):
+    """Round-3 verdict item 2: a compaction cycle must not re-read or
+    rewrite the previous consolidated dir — bytes scale with the batches
+    since the last compaction, not with total state. Proven by file-level
+    snapshot: compact000000 is bit-untouched by the second compact()."""
+    import json
+    import os
+
+    from metadata_reconciliation_tool_spark.plans.incremental import IncrementalRecon
+    from metadata_reconciliation_tool_spark.plans.pipeline import (
+        ReconConfig,
+        ReconPipeline,
+    )
+
+    t = bundle["transcripts"]
+    parts = [t.filter(F.crc32(F.col("conv_id")) % 5 == i) for i in range(5)]
+    work = str(tmp_path / "inc")
+    cfg = ReconConfig(job_id="j", work_dir=work, force=True, collect_metrics=False)
+    ReconPipeline(spark, cfg).run(parts[0], bundle["dictionary"])
+    inc = IncrementalRecon(spark, work, "j")
+    inc.ingest_batch(parts[1], bundle["dictionary"], batch_id="s000001")
+    inc.ingest_batch(parts[2], bundle["dictionary"], batch_id="s000002")
+    assert inc.compact() == "compact000000"
+
+    snap0 = _dir_snapshot(f"{work}/j/batches/compact000000")
+
+    inc.ingest_batch(parts[3], bundle["dictionary"], batch_id="s000003")
+    inc.ingest_batch(parts[4], bundle["dictionary"], batch_id="s000004")
+    before = _state_rows(spark, work)
+    assert inc.compact() == "compact000001"
+
+    # L0 fold only: prior consolidated dir live, bit-untouched, NOT covered
+    assert inc.committed_batches() == ["compact000000", "compact000001"]
+    assert _dir_snapshot(f"{work}/j/batches/compact000000") == snap0
+    with open(f"{work}/j/batches/compact000001/covers.json") as fh:
+        assert json.load(fh) == ["s000003", "s000004"]
+    assert not os.path.isdir(f"{work}/j/batches/s000003")
+    assert _state_rows(spark, work) == before
+
+
+def test_consolidated_dirs_merge_at_level_threshold(spark, bundle, tmp_path):
+    """L1: only when merge_consolidated_at consolidated dirs accumulate do
+    they fold together; the merged manifest covers TRANSITIVELY, so a
+    redelivered batch id two levels deep is still a recognized no-op."""
+    import json
+
+    from metadata_reconciliation_tool_spark.plans.incremental import IncrementalRecon
+    from metadata_reconciliation_tool_spark.plans.pipeline import (
+        ReconConfig,
+        ReconPipeline,
+    )
+
+    t = bundle["transcripts"]
+    parts = [t.filter(F.crc32(F.col("conv_id")) % 5 == i) for i in range(5)]
+    work = str(tmp_path / "inc")
+    cfg = ReconConfig(job_id="j", work_dir=work, force=True, collect_metrics=False)
+    ReconPipeline(spark, cfg).run(parts[0], bundle["dictionary"])
+    inc = IncrementalRecon(spark, work, "j")
+    inc.ingest_batch(parts[1], bundle["dictionary"], batch_id="s000001")
+    inc.ingest_batch(parts[2], bundle["dictionary"], batch_id="s000002")
+    assert inc.compact() == "compact000000"
+
+    inc.ingest_batch(parts[3], bundle["dictionary"], batch_id="s000003")
+    inc.ingest_batch(parts[4], bundle["dictionary"], batch_id="s000004")
+    before = _state_rows(spark, work)
+    # merge_consolidated_at=2: L0 folds the fresh dirs -> compact000001,
+    # then L1 merges [compact000000, compact000001] -> compact000002
+    assert inc.compact(merge_consolidated_at=2) == "compact000002"
+    assert inc.committed_batches() == ["compact000002"]
+    with open(f"{work}/j/batches/compact000002/covers.json") as fh:
+        covers = set(json.load(fh))
+    # transitive: the per-batch ids folded away at L0 stay covered
+    assert {"compact000000", "compact000001",
+            "s000001", "s000002", "s000003", "s000004"} <= covers
+    assert _state_rows(spark, work) == before
+
+    # redelivery of a batch two fold-levels deep is a no-op (not a phantom
+    # empty re-ingest): its id is still recognized via transitive covers
+    out = inc.ingest_batch(parts[1], bundle["dictionary"], batch_id="s000001")
+    assert out["new_entities"].count() == 0
+    assert out["new_scores"].count() == 0
+    assert inc.committed_batches() == ["compact000002"]
+    assert _state_rows(spark, work) == before
