@@ -96,6 +96,62 @@ def derive_n_planes(n_corpus: int, target_bucket_size: int = 256) -> int:
     return max(8, math.ceil(math.log2(ratio))) if ratio > 1 else 8
 
 
+def _cap_buckets(
+    ck: DataFrame, max_bucket_size: int, cap_salts: int
+) -> tuple[DataFrame, DataFrame]:
+    """Keep at most ``max_bucket_size`` corpus rows per (table, bucket) —
+    the LOWEST neighbor ids — without ever sorting a hot bucket's full
+    population in one task (round-3 verdict item 3: the former single
+    ``row_number`` window over every bucket made a 10⁷-identical-vector
+    bucket a one-task O(n log n) straggler — the exact shape
+    ``dedup._keep_min_id_per_key`` exists to avoid).
+
+    Three steps, all skew-safe:
+
+    1. bucket sizes via groupBy-count (map-side partial agg — a hot key
+       pre-reduces inside every map task); over-cap keys are RARE by
+       construction → broadcast;
+    2. under-cap buckets (the common path) pass through with NO window and
+       no sort at all — just a broadcast anti-join probe;
+    3. over-cap buckets run a salted two-stage lowest-k selection: stage 1
+       ranks within (bk, salt) — the hot bucket splits across
+       s = min(ceil(n/max_bucket_size), cap_salts) tasks of ~n/s rows —
+       and keeps each salt's lowest ``max_bucket_size`` ids; stage 2 ranks
+       the ≤ s·max_bucket_size survivors within bk. Any id among the
+       bucket's global lowest ``max_bucket_size`` has fewer than
+       ``max_bucket_size`` smaller ids in its own salt, so it survives
+       stage 1 — the final set is EXACTLY the global lowest ids (same
+       result, and the same SQL twin, as the old single window).
+
+    Hottest-task input is max(n/s, s·max_bucket_size) instead of n.
+    Returns (capped, dropped) with dropped = (bk, bucket_n, n_dropped)."""
+    sizes = ck.groupBy("bk").agg(F.count("*").alias("bucket_n"))
+    over = sizes.filter(F.col("bucket_n") > max_bucket_size)
+    dropped = over.withColumn(
+        "n_dropped", F.col("bucket_n") - max_bucket_size
+    ).select("bk", "bucket_n", "n_dropped")
+    cols = ck.columns
+    keep_all = ck.join(F.broadcast(over.select("bk")), "bk", "left_anti")
+    hot = ck.join(F.broadcast(over.select("bk", "bucket_n")), "bk")
+    n_salts = F.least(
+        F.ceil(F.col("bucket_n") / F.lit(max_bucket_size)), F.lit(cap_salts)
+    ).cast("int")
+    hot = hot.withColumn(
+        "_salt", F.pmod(F.xxhash64("neighbor_id"), n_salts).cast("int")
+    )
+    w1 = Window.partitionBy("bk", "_salt").orderBy(F.asc("neighbor_id"))
+    survivors = hot.withColumn("_rn", F.row_number().over(w1)).filter(
+        F.col("_rn") <= max_bucket_size
+    )
+    w2 = Window.partitionBy("bk").orderBy(F.asc("neighbor_id"))
+    hot_kept = (
+        survivors.withColumn("_rn2", F.row_number().over(w2))
+        .filter(F.col("_rn2") <= max_bucket_size)
+        .select(*cols)
+    )
+    return keep_all.select(*cols).unionByName(hot_kept), dropped
+
+
 def srp_lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -109,6 +165,7 @@ def srp_lsh_topk(
     c_vec: str = "embedding",
     target_bucket_size: int = 256,
     max_bucket_size: int = 1024,
+    cap_salts: int = 64,
     return_dropped: bool = False,
 ) -> DataFrame | tuple[DataFrame, DataFrame]:
     """ANN top-k: union of n_tables SRP bucket joins, exact cosine re-rank
@@ -129,12 +186,12 @@ def srp_lsh_topk(
     Queries hashing into an over-cap bucket still re-rank against the
     retained members; since hot buckets are hot precisely because their
     members near-collide, the retained members are good neighbors (recall
-    floor is pytest-gated). The cap selection is a bucket-local sort —
-    O(n log n) in the bucket vs the O(n²) join it prevents; if even that is
-    too hot, raise ``n_planes`` (the bucket universe scales with the corpus
-    via derive_n_planes). ``return_dropped=True`` additionally returns the
-    drop report (bk, bucket_n, n_dropped) — the same drop-and-report
-    contract as the dedup operators."""
+    floor is pytest-gated). The selection never sorts a hot bucket in one
+    task — see :func:`_cap_buckets` (under-cap buckets skip the window
+    entirely; over-cap buckets use a salted two-stage lowest-k whose
+    hottest task sees max(n/s, s·cap) rows). ``return_dropped=True``
+    additionally returns the drop report (bk, bucket_n, n_dropped) — the
+    same drop-and-report contract as the dedup operators."""
     if n_planes is None:
         n_planes = derive_n_planes(corpus.count(), target_bucket_size)
     q = queries.select(F.col(q_id).alias("query_id"), F.col(q_vec).alias("qv"))
@@ -155,15 +212,7 @@ def srp_lsh_topk(
 
     qk = q.select("query_id", "qv", F.explode(keys_for(F.col("qv"))).alias("bk"))
     ck = c.select("neighbor_id", "cv", F.explode(keys_for(F.col("cv"))).alias("bk"))
-    wb = Window.partitionBy("bk").orderBy(F.asc("neighbor_id"))
-    ck_ranked = ck.withColumn("_rn", F.row_number().over(wb))
-    dropped = (
-        ck_ranked.groupBy("bk")
-        .agg(F.count("*").alias("bucket_n"))
-        .filter(F.col("bucket_n") > max_bucket_size)
-        .withColumn("n_dropped", F.col("bucket_n") - max_bucket_size)
-    )
-    ck = ck_ranked.filter(F.col("_rn") <= max_bucket_size).drop("_rn")
+    ck, dropped = _cap_buckets(ck, max_bucket_size, cap_salts)
     cand = (
         qk.join(ck, "bk")
         .select("query_id", "qv", "neighbor_id", "cv")

