@@ -276,11 +276,22 @@ class IncrementalRecon:
 
     def _read_state(self, name: str) -> DataFrame:
         """Bootstrap stage ∪ committed batch appends (uncommitted partial
-        batch directories are invisible — the atomicity contract)."""
+        batch directories are invisible — the atomicity contract).
+
+        Each root is read separately and unioned by name: the bootstrap
+        scoring stage is partitioned by pair_kind (pipeline.py) while batch
+        dirs are flat, and Spark refuses a single multi-root read over
+        mixed/partitioned layouts; per-root reads also let a pair_kind
+        filter prune the bootstrap's partitions through the union."""
+        from functools import reduce
+
         paths = [self._stage(name)] + [
             os.path.join(self._batch_dir(b), name) for b in self.committed_batches()
         ]
-        return self.spark.read.parquet(*paths)
+        frames = [self.spark.read.parquet(p) for p in paths]
+        return reduce(
+            lambda a, b: a.unionByName(b, allowMissingColumns=False), frames
+        )
 
     def ingest_batch(
         self,

@@ -171,7 +171,11 @@ class ReconPipeline:
                 prune_cutoff=min(self.cfg.match_threshold, self.cfg.success_threshold),
             )
 
-        return self._run_stage("scoring", compute)
+        # partitioned by pair_kind (round-3 verdict item 8): clusters reads
+        # only pair_kind='self' and best only 'dict', so the stage's two
+        # downstream scans each prune to their own partition instead of
+        # reading the full 34M-row (at sf0.1; ~10^12 in production) table
+        return self._run_stage("scoring", compute, partition_by=["pair_kind"])
 
     def clusters(self, distinct: DataFrame, scores: DataFrame) -> DataFrame:
         def compute():

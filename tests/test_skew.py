@@ -137,3 +137,54 @@ def test_asymmetric_corpus_salt_bounds_the_hottest_task(spark, hot_block):
     # join: every one touches the batch, count matches the expected volume
     expect = N * (N - 1) // 2 - (N - 100) * (N - 101) // 2
     assert sum(r["count"] for r in hot) == expect
+
+
+def test_dictionary_shuffle_fallback_bounds_the_hottest_task(spark, hot_block):
+    """Round-3 verdict item 9: the dictionary join's shuffle fallback
+    (broadcast forced off) under a HOT dictionary block key. The entity
+    side is SPLIT by salt = hash(entity_key) % shuffle_salts and the
+    dictionary side replicated, so per-(pass, key, salt) join-group input
+    is bounded by ~|entities|/salts + |dict block| — no task sees the whole
+    entity block against the hot key. Pair parity with the broadcast path
+    is asserted on the same input."""
+    from metadata_reconciliation_tool_spark.operators.blocking import (
+        add_block_keys,
+        dictionary_candidates,
+    )
+
+    shuffle_salts = 8
+    # a hot dictionary key: 40 authority rows sharing the entities' 6-char
+    # token-sorted prefix -> every entity row collides with all 40
+    dic = spark.createDataFrame(
+        [
+            (f"Q{j}", f"Aaaaaa Y{j:03d}", f"aaaaaa y{j:03d}",
+             f"desc {j}", "person")
+            for j in range(40)
+        ],
+        ["auth_id", "label", "norm_label", "description", "entity_type"],
+    )
+    ekeyed = add_block_keys(hot_block)
+    dkeyed = add_block_keys(dic, "norm_label")
+
+    sh = dictionary_candidates(
+        ekeyed, dkeyed, broadcast=False, shuffle_salts=shuffle_salts
+    )
+    bc = dictionary_candidates(ekeyed, dkeyed, broadcast=True)
+    got = sorted((r.left_key, r.right_key) for r in sh.collect())
+    want = sorted((r.left_key, r.right_key) for r in bc.collect())
+    assert got == want and len(got) > 0  # exactly-once parity, non-trivial
+
+    # hottest-task bound: replay the operator's salt assignment on the hot
+    # prefix block — each (block, salt) group (one shuffle task's entity
+    # input for the hot key) holds ~N/salts rows, never the whole block
+    dist = (
+        ekeyed.select(
+            F.pmod(F.xxhash64("entity_key"), F.lit(shuffle_salts)).alias("salt")
+        )
+        .groupBy("salt")
+        .count()
+        .collect()
+    )
+    counts = {r.salt: r["count"] for r in dist}
+    assert len(counts) == shuffle_salts
+    assert max(counts.values()) <= (N / shuffle_salts) * 1.5
