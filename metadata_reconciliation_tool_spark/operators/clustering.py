@@ -14,8 +14,12 @@ truncates the lineage so the plan doesn't grow exponentially (the one
 driver-side loop in the engine, by design — SURVEY.md §4.3) — local
 checkpoint in single-JVM runs, reliable checkpoint when a checkpoint dir
 is configured (fault-tolerance trade: functions/persist.py). Convergence
-detected by a (count, hash-sum) fingerprint — O(1) driver data per round,
-no collect of the edge set.
+detected by a (count, hash-xor) fingerprint OBSERVED on the
+materialization job itself (round-3 verdict item 7: the former separate
+fingerprint aggregate added one driver-blocking job per round to the
+pipeline's serial floor; ``df.observe`` collects the same O(1) metrics
+from the job the round already runs — zero extra jobs, no collect of the
+edge set).
 
 Determinism: cluster id = lexicographic min entity_key of the component —
 identical at local[8] and local[32] (no monotonically_increasing_id).
@@ -23,18 +27,25 @@ identical at local[8] and local[32] (no monotonically_increasing_id).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from ..functions.persist import materialize
 
 
-def _fingerprint(edges: DataFrame) -> tuple[int, int]:
-    row = edges.agg(
-        F.count("*").alias("n"),
-        F.coalesce(F.bit_xor(F.xxhash64("src", "dst")), F.lit(0)).alias("h"),
-    ).collect()[0]
-    return int(row["n"]), int(row["h"])
+def _observe_fingerprint(edges: DataFrame) -> tuple[DataFrame, Observation]:
+    """Attach the (count, hash-xor) convergence fingerprint as observed
+    metrics — collected by whatever action materializes ``edges`` next, so
+    convergence detection costs zero extra Spark jobs."""
+    obs = Observation()
+    return (
+        edges.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.bit_xor(F.xxhash64("src", "dst")), F.lit(0)).alias("h"),
+        ),
+        obs,
+    )
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
@@ -79,8 +90,9 @@ def connected_components(
     e = materialize(e)
     prev = None
     for _ in range(max_iter):
-        e = materialize(_small_star(_large_star(e)))
-        fp = _fingerprint(e)
+        nxt, obs = _observe_fingerprint(_small_star(_large_star(e)))
+        e = materialize(nxt)  # eager → obs is complete right after
+        fp = (int(obs.get["n"]), int(obs.get["h"]))
         if fp == prev:
             break
         prev = fp

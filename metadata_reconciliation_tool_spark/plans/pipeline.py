@@ -56,6 +56,11 @@ class ReconConfig:
     # to restore the round-2 behavior (finer resume granularity for
     # debugging: a crash during scoring resumes from materialized pairs).
     checkpoint_blocking: bool = False
+    # same fusion for the raw entities stage (round-3 verdict item 7, serial
+    # floor): its only consumer is entities_distinct, so by default extract
+    # + distinct run as ONE stage write instead of two (a crash recomputes
+    # the extraction — deterministic). Set True for the finer resume point.
+    checkpoint_entities: bool = False
 
 
 class ReconPipeline:
@@ -75,16 +80,25 @@ class ReconPipeline:
     def _run_stage(self, stage: str, compute, partition_by=None) -> DataFrame:
         import time
 
+        from pyspark.sql import Observation
+
         path = self._path(stage)
         if not self.cfg.force and W.stage_exists(self.spark, path):
             return W.read_stage(self.spark, path)
         t0 = time.monotonic()
         df = compute()
+        obs = None
+        if self.cfg.collect_metrics:
+            # row count OBSERVED on the stage write itself (round-3 verdict
+            # item 7: the former read-back count() added one full extra job
+            # per stage to the pipeline's serial floor)
+            obs = Observation()
+            df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
         W.write_stage(df, path, partition_by)
         self.stage_walls[stage] = round(time.monotonic() - t0, 3)
         out = W.read_stage(self.spark, path)
-        if self.cfg.collect_metrics:
-            self._metric(stage, "rows", float(out.count()))
+        if obs is not None:
+            self._metric(stage, "rows", float(obs.get["rows"]))
             self._metric(stage, "wall_sec", self.stage_walls[stage])
         return out
 
@@ -103,7 +117,15 @@ class ReconPipeline:
     # -- stages --------------------------------------------------------------
 
     def entities(self, transcripts: DataFrame) -> DataFrame:
-        return self._run_stage("entities", lambda: E.extract_entities(transcripts))
+        """Extract + normalize + key. Fused into entities_distinct by
+        default (``checkpoint_entities=False``): distinct is its only
+        consumer, so the raw per-mention frame is returned lazy and the
+        distinct stage's write materializes both in one job."""
+        if self.cfg.checkpoint_entities:
+            return self._run_stage(
+                "entities", lambda: E.extract_entities(transcripts)
+            )
+        return E.extract_entities(transcripts)
 
     def entities_distinct(self, entities: DataFrame) -> DataFrame:
         """Dedup-before-compute stage (the reference's cache-hit analogue)
@@ -244,10 +266,20 @@ class ReconPipeline:
         distinct = self.entities_distinct(ents)
         pairs = self.blocking(distinct, dictionary)
         scores = self.scoring(distinct, dictionary, pairs)
-        clusters = self.clusters(distinct, scores)
         dict_scores = scores.filter(F.col("pair_kind") == "dict")
         self_scores = scores.filter(F.col("pair_kind") == "self")
-        best = self.best_matches(distinct, dict_scores)
+        # clusters and best are INDEPENDENT consumers of the scoring stage —
+        # submit them from two driver threads so their jobs interleave in
+        # the scheduler (round-3 verdict item 7: run serially, each stage's
+        # commit barrier and driver scheduling gaps added straight to the
+        # pipeline's serial floor; Spark supports concurrent job submission)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fut_clusters = pool.submit(self.clusters, distinct, scores)
+            fut_best = pool.submit(self.best_matches, distinct, dict_scores)
+            clusters = fut_clusters.result()
+            best = fut_best.result()
         if self.cfg.collect_metrics:
             # A4–A8 analogues: one aggregate → metrics table
             agg = best.agg(

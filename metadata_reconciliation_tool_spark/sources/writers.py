@@ -117,6 +117,13 @@ def write_stage(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+    if partition_by:
+        # a partitioned write of an EMPTY frame produces no part files at
+        # all (just _SUCCESS), which is unreadable (no schema to infer).
+        # Anchor the schema in a hidden sub-dir — names starting with '_'
+        # are invisible to Spark's data-file discovery, so normal reads are
+        # unaffected; read_stage falls back to it for the empty case.
+        df.limit(0).write.mode("overwrite").parquet(os.path.join(path, "_schema"))
 
 
 def stage_exists(spark: SparkSession, path: str) -> bool:
@@ -131,7 +138,13 @@ def stage_exists(spark: SparkSession, path: str) -> bool:
 def read_stage(spark: SparkSession, path: str) -> DataFrame:
     if _is_table_identifier(path):
         return spark.table(path)
-    return spark.read.parquet(path)
+    try:
+        return spark.read.parquet(path)
+    except Exception:  # noqa: BLE001 — empty partitioned stage (no part files)
+        anchor = os.path.join(path, "_schema")
+        if os.path.isdir(anchor):
+            return spark.read.parquet(anchor)
+        raise
 
 
 def export_csv_best_matches(best: DataFrame, out_path: str) -> None:

@@ -46,17 +46,22 @@ def run_bench(cpus: int, sf_dir: str) -> dict:
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
-def best_of(cpus: int, sf_dir: str, repeats: int) -> dict:
+def best_of(cpus: int, sf_dir: str, repeats: int) -> tuple[dict, dict]:
+    """Returns (best run, disclosure of every repeat's wall + start load)."""
     runs = [run_bench(cpus, sf_dir) for _ in range(repeats)]
-    return min(runs, key=lambda r: r["queries"]["recon_pipeline"])
+    disclosure = {
+        "walls": [r["queries"]["recon_pipeline"] for r in runs],
+        "load_avg": [la for r in runs for la in r.get("load_avg_per_run", [])],
+    }
+    return min(runs, key=lambda r: r["queries"]["recon_pipeline"]), disclosure
 
 
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     repeats = int(sys.argv[3]) if len(sys.argv) > 3 else 2
-    lo = best_of(n, sf_dir, repeats)
-    hi = best_of(4 * n, sf_dir, repeats)
+    lo, lo_runs = best_of(n, sf_dir, repeats)
+    hi, hi_runs = best_of(4 * n, sf_dir, repeats)
     t_lo = lo["queries"]["recon_pipeline"]
     t_hi = hi["queries"]["recon_pipeline"]
     tput_lo = lo["scored_pairs_per_sec"]
@@ -78,6 +83,8 @@ def main() -> None:
         "scaling_efficiency": round(eff, 3),
         "amdahl_serial_sec": round(ser, 1),
         "amdahl_parallel_cpu_sec": round(par, 1),
+        "runs_n": lo_runs,
+        "runs_4n": hi_runs,
     }
     print(json.dumps(summary))
     pairs = lo["scored_pairs"]
@@ -103,7 +110,9 @@ at two `local[N]` parallelism levels on the same deterministic input.
 Input: {lo['n_turns']:,} synthetic transcript turns → {pairs:,} scored
 candidate pairs. Best of {repeats} runs per level (the host is shared;
 background load 7–20 was observed with this repo idle, so minima are the
-least-contended estimates).
+least-contended estimates). All repeats disclosed — local[{n}] walls
+{lo_runs['walls']} s at start load {lo_runs['load_avg']}; local[{4*n}]
+walls {hi_runs['walls']} s at start load {hi_runs['load_avg']}.
 
 | parallelism | wall (s) | scored pairs/s |
 |---|---|---|
