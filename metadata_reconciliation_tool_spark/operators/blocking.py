@@ -159,20 +159,17 @@ def dictionary_candidates(
     # multi-source dictionaries (Wikidata ∪ VIAF ∪ Getty) carry their source
     # metadata through the pair shuffle so scoring can apply F9/F10 boosts
     # without a pair-level re-join (reconciliation_engine.py:388-437)
-    if "label" not in dictionary_keyed.columns:
-        dictionary_keyed = dictionary_keyed.withColumn(
-            "label", F.lit(None).cast("string")
-        )
+    # NOTE: the raw ``label`` deliberately does NOT ride the pair shuffle.
+    # Round 4 first shipped it as a payload column (to kill the best-match
+    # broadcast) and measured the cost: ~+100 cpu·s at 34M pairs — an extra
+    # string through the explode, the pair shuffle, the dedup min-agg and
+    # the stage write, ALL scaled by pair count. Best-match instead attaches
+    # the label with a size-gated join over n_entities rows
+    # (plans/pipeline.py:best_matches) — pairs ≫ entities at every scale.
     right_payload = {
         "right_name": "norm_label",
         "right_description": "description",
         "right_sorted": "_token_sorted",
-        # the RAW label rides the pair shuffle too, so best-match needs no
-        # dictionary re-join at all downstream (round-3 verdict item 1: the
-        # label attachment was the last unconditional broadcast of a
-        # production-sized table; ref analogue: match_name persisted per
-        # match, app/database.py:364-371)
-        "right_label": "label",
     }
     source_cols = [
         c for c in ("source", "n_sources", "term_type") if c in dictionary_keyed.columns
@@ -184,7 +181,7 @@ def dictionary_candidates(
     )
     out_cols = [
         "left_key", "right_key", "block_pass", "block_key",
-        "left_name", "right_name", "right_description", "right_label",
+        "left_name", "right_name", "right_description",
         "left_sorted", "right_sorted",
         *[f"right_{c}" for c in source_cols],
     ]

@@ -87,7 +87,10 @@ def connected_components(
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
-    e = materialize(e)
+    # no up-front materialize: round 1 consumes the lazy distinct (its
+    # shuffle is shared across the plan's branches via ReusedExchange) and
+    # the round's own materialization truncates the lineage — one fewer
+    # driver-blocking job per CC invocation
     prev = None
     for _ in range(max_iter):
         nxt, obs = _observe_fingerprint(_small_star(_large_star(e)))

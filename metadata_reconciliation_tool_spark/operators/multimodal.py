@@ -373,8 +373,11 @@ Y4M_FRAME_SCHEMA = T.StructType(
 
 def decode_y4m_py(payload: bytes) -> list[dict]:
     """REAL Y4M decode: stream-header token parse (W/H/C validated), then
-    frame iteration — each ``FRAME`` marker line followed by three w×h
-    planes (C444) — with numpy per-plane stats per frame."""
+    frame iteration — each ``FRAME`` marker line followed by the Y/Cb/Cr
+    planes — with numpy per-plane stats per frame. Supports C444 (full
+    chroma, the synthetic-payload shape) and the spec-default C420 family
+    (``C420jpeg``/``C420mpeg2``/``C420paldv``/``C420``: quarter-resolution
+    chroma planes, w/2 × h/2 — even dims required)."""
     nl = payload.index(b"\n")
     tokens = payload[:nl].split(b" ")
     if tokens[0] != b"YUV4MPEG2":
@@ -390,9 +393,15 @@ def decode_y4m_py(payload: bytes) -> list[dict]:
             colorspace = t
     if w is None or h is None:
         raise ValueError("missing W/H header tokens")
-    if colorspace != b"C444":
+    if colorspace == b"C444":
+        cw, ch = w, h
+    elif colorspace in (b"C420", b"C420jpeg", b"C420mpeg2", b"C420paldv"):
+        if w % 2 or h % 2:
+            raise ValueError(f"C420 requires even dims, got {w}x{h}")
+        cw, ch = w // 2, h // 2
+    else:
         raise ValueError(f"unsupported colorspace {colorspace!r}")
-    plane_n = w * h
+    y_n, c_n = w * h, cw * ch
     pos = nl + 1
     frames: list[dict] = []
     while pos < len(payload):
@@ -400,19 +409,21 @@ def decode_y4m_py(payload: bytes) -> list[dict]:
         if payload[pos:fnl].split(b" ")[0] != b"FRAME":
             raise ValueError("expected FRAME marker")
         pos = fnl + 1
-        planes = np.frombuffer(
-            payload, dtype=np.uint8, count=3 * plane_n, offset=pos
-        ).reshape(3, plane_n).astype(np.int64)
-        pos += 3 * plane_n
+        yp = np.frombuffer(payload, dtype=np.uint8, count=y_n, offset=pos).astype(np.int64)
+        cb = np.frombuffer(payload, dtype=np.uint8, count=c_n, offset=pos + y_n).astype(np.int64)
+        cr = np.frombuffer(
+            payload, dtype=np.uint8, count=c_n, offset=pos + y_n + c_n
+        ).astype(np.int64)
+        pos += y_n + 2 * c_n
         frames.append(
             {
                 "frame_idx": len(frames),
                 "width": w,
                 "height": h,
-                "mean_y": float(planes[0].sum() / plane_n),
-                "mean_cb": float(planes[1].sum() / plane_n),
-                "mean_cr": float(planes[2].sum() / plane_n),
-                "peak": int(planes.max()),
+                "mean_y": float(yp.sum() / y_n),
+                "mean_cb": float(cb.sum() / c_n),
+                "mean_cr": float(cr.sum() / c_n),
+                "peak": int(max(yp.max(), cb.max(), cr.max())),
             }
         )
     return frames

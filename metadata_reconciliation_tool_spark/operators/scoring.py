@@ -147,9 +147,7 @@ def score_pairs(
         ).otherwise(score_col)
 
     passthrough = [
-        c
-        for c in ("pair_kind", "right_source", "right_label")
-        if c in named_pairs.columns
+        c for c in ("pair_kind", "right_source") if c in named_pairs.columns
     ]
     out_cols = [
         "left_key",

@@ -481,7 +481,7 @@ def test_y4m_roundtrip_decode_matches_formula(spark):
     with pytest.raises(ValueError):
         decode_y4m_py(b"RIFF....")
     with pytest.raises(ValueError):
-        decode_y4m_py(b"YUV4MPEG2 W4 H4 F25:1 C420jpeg\n")  # unsupported C
+        decode_y4m_py(b"YUV4MPEG2 W4 H4 F25:1 C422\n")  # unsupported C
 
     # distributed path: one row per frame, frame counts follow the formula
     rows = decode_y4m_frames(gen_y4m_media(spark, 12)).collect()
@@ -533,3 +533,33 @@ def test_extract_features_stub_values_and_frame_plan(spark):
         assert media_rows[mid].kind == "video"
         assert sorted(idxs) == list(range(0, n_frames + 1, 10))
     assert set(got) == {m for m, r in media_rows.items() if r.kind == "video"}
+
+
+def test_y4m_c420_decode():
+    """The decoder also handles the spec-default C420 family: quarter-res
+    chroma planes, header-default colorspace (no C token), odd-dims
+    rejection. Pure python — no Spark needed."""
+    from metadata_reconciliation_tool_spark.operators.multimodal import (
+        decode_y4m_py,
+    )
+
+    w, h = 4, 2
+    yp = list(range(w * h))                  # 0..7  -> mean 3.5
+    cb = [10, 20]                            # (w/2)*(h/2) = 2 -> mean 15
+    cr = [30, 250]                           # mean 140, peak 250
+    body = bytes(yp) + bytes(cb) + bytes(cr)
+    for hdr in (b"YUV4MPEG2 W4 H2 F25:1 C420jpeg\n",
+                b"YUV4MPEG2 W4 H2 F25:1\n"):  # no C token -> C420jpeg default
+        frames = decode_y4m_py(hdr + b"FRAME\n" + body + b"FRAME\n" + body)
+        assert len(frames) == 2
+        for fr in frames:
+            assert (fr["width"], fr["height"]) == (4, 2)
+            assert fr["mean_y"] == 3.5
+            assert fr["mean_cb"] == 15.0
+            assert fr["mean_cr"] == 140.0
+            assert fr["peak"] == 250
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="even dims"):
+        decode_y4m_py(b"YUV4MPEG2 W5 H2 F25:1 C420\n")

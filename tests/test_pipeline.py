@@ -142,17 +142,22 @@ def test_fused_blocking_equals_checkpointed(spark, bundle, tmp_path):
         assert a == b, f"{name} diverged between fused and checkpointed"
 
 
-def test_best_match_label_carried_equals_dictionary_join(spark, bundle, pipeline_out):
-    """Round-3 verdict item 1: match_label now rides the pair shuffle from
-    blocking instead of a dictionary re-join (the former F.broadcast(dic)
-    was the last unconditional broadcast of a production-sized table). The
-    carried label must be bit-identical to what the old join produced."""
+def test_best_match_label_join_gate_parity(spark, bundle, pipeline_out, tmp_path):
+    """Round-3 verdict item 1: best-match label attachment is size-gated —
+    no unconditional broadcast of dictionary data remains. Cap-forced run
+    (broadcast_max_rows=0 → shuffle join) must be bit-identical to the
+    default (broadcast) run, labels correct, unmatched rows null."""
+    from metadata_reconciliation_tool_spark.plans.pipeline import (
+        ReconConfig,
+        ReconPipeline,
+    )
+
     best = pipeline_out["best"]
     dic = bundle["dictionary"].select(
         F.col("auth_id").alias("right_key"), F.col("label").alias("want_label")
     )
     j = best.join(dic, "right_key", "left")
-    # every matched entity's carried label equals the dictionary's label
+    # every matched entity's label equals the dictionary's label
     assert j.filter(
         F.col("right_key").isNotNull()
         & ~F.col("match_label").eqNullSafe(F.col("want_label"))
@@ -162,3 +167,15 @@ def test_best_match_label_carried_equals_dictionary_join(spark, bundle, pipeline
         F.col("right_key").isNull() & F.col("match_label").isNotNull()
     ).count() == 0
     assert best.filter("right_key is not null").count() > 0
+
+    # cap-forced parity: broadcast gate at 0 rows forces the shuffle path
+    cfg = ReconConfig(
+        job_id="gate0", work_dir=str(tmp_path / "gate0"), force=True,
+        collect_metrics=False, broadcast_max_rows=0,
+    )
+    forced = ReconPipeline(spark, cfg).run(
+        bundle["transcripts"], bundle["dictionary"]
+    )["best"]
+    a = sorted(map(tuple, forced.collect()))
+    b = sorted(map(tuple, best.collect()))
+    assert a == b
