@@ -72,6 +72,12 @@ from .normalize import TITLE_WORDS
 _TITLES = set(TITLE_WORDS)
 
 
+# NOT memoized (round 4, measured): on the real 34M-pair bench
+# distribution the (t, u) vocabulary seen by the BOUND is effectively
+# unbounded — an lru_cache(2^18) measured a 69% miss rate and made the
+# bound 33% SLOWER (thrash: insert+evict per miss). The kernel-side
+# jaro_winkler_py IS memoized (similarity.py): only ~3.5% of pairs reach
+# the kernels and their surviving token pairs repeat (60% hit, 3.6×).
 def token_pair_upper_bound_py(t: str, u: str) -> float:
     """Upper bound on the alignment kernel's per-token ``pair_score(t, u)``
     (name_align_py). Exact 1.0 for equal tokens; exact 0.95/0.0 for the
