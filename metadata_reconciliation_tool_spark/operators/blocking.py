@@ -32,13 +32,44 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.normalize import token_sort
-from ..functions.similarity import lsh_keys_udf, surname_key_udf
+from ..functions.similarity import LSH_BANDS, lsh_keys_udf, surname_key_udf
 
 PASS_PRIORITY = {"prefix": 1, "metaphone": 2, "lsh": 3}
 PREFIX_LEN = 6
 # dictionary rows (pre-explosion) at or below which the exploded key frame
 # is broadcast instead of shuffle-joined — see dictionary_candidates
 DICT_BROADCAST_MAX_ROWS = 2_000_000
+# pass keys emitted per entity row: 1 prefix + 1 metaphone + LSH_BANDS lsh
+# bands — the sound upper bound on distinct block keys used by the
+# salt-map broadcast gates below (round-4 verdict item 1: the former
+# UNCONDITIONAL F.broadcast of the per-block salt map is one row per
+# distinct surviving block key, which scales with the distinct-entity
+# universe — a multi-GB broadcast build at 10⁹ entities)
+KEYS_PER_ENTITY = 2 + LSH_BANDS
+
+
+def _key_frames_small(
+    source_rows_df: DataFrame, known_rows: int | None, broadcast_max_rows: int
+) -> bool:
+    """Gate for broadcasting key-derived frames (the per-block salt map,
+    the batch's block-key list): each has at most ``KEYS_PER_ENTITY ×
+    rows(source)`` rows, so the source row count bounds them all. At or
+    below the gate the broadcast hints stay (the big exploded-key frame
+    never shuffles for those joins); above it, NO hint — a plain equi-join
+    that AQE still converts to broadcast when runtime stats allow, and that
+    degrades to a shuffle join instead of an executor OOM when they don't.
+
+    ``known_rows`` skips the probe when the caller already knows the source
+    row count; otherwise a BOUNDED ``limit(gate+1).count()`` probe (the scan
+    stops at the gate — never a full pass over a 10⁹-row table)."""
+    gate_rows = max(broadcast_max_rows // KEYS_PER_ENTITY, 1)
+    if known_rows is None:
+        known_rows = source_rows_df.limit(gate_rows + 1).count()
+    return known_rows <= gate_rows
+
+
+def _maybe_broadcast(df: DataFrame, small: bool) -> DataFrame:
+    return F.broadcast(df) if small else df
 
 
 def add_block_keys(
@@ -219,6 +250,8 @@ def self_candidates(
     max_block_size: int = 1000,
     rows_per_salt: int = 256,
     max_salts: int = 32,
+    broadcast_max_rows: int = DICT_BROADCAST_MAX_ROWS,
+    entity_rows: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Entity ↔ entity candidate pairs within shared blocks (feeds J7
     clustering — the reference never compares entity↔entity; the north rule
@@ -237,6 +270,14 @@ def self_candidates(
       reported (covered by the other passes or never tractable; the drop
       is observable in metrics).
 
+    The salt-map attach join's broadcast hint is SIZE-GATED on the entity
+    row count (``entity_rows`` if the caller knows it, else a bounded
+    probe): the map is one row per distinct surviving block key, which
+    scales with the entity universe (round-4 verdict item 1 — the former
+    unconditional hint was a multi-GB broadcast build at 10⁹ entities).
+    Over the gate the join runs unhinted; AQE still broadcasts when
+    runtime stats allow.
+
     AQE skew-join remains enabled underneath for residual imbalance.
     Returns (pairs, dropped_blocks_metrics).
     """
@@ -254,9 +295,15 @@ def self_candidates(
         ).cast("int"),
     )
     # inner join against the surviving-block list both applies the cap and
-    # attaches n_salts; the block list is one row per distinct key → broadcast
+    # attaches n_salts; the block list is one row per distinct key — which
+    # scales with the entity universe, so the broadcast hint is SIZE-GATED
+    # (round-4 verdict item 1), bounded-probed on the entity frame when the
+    # caller doesn't pass ``entity_rows``
     fk = f.join(
-        F.broadcast(ok.select("block_pass", "block_key", "n_salts")),
+        _maybe_broadcast(
+            ok.select("block_pass", "block_key", "n_salts"),
+            _key_frames_small(entities_keyed, entity_rows, broadcast_max_rows),
+        ),
         ["block_pass", "block_key"],
     )
     left = fk.select(
@@ -294,6 +341,8 @@ def asymmetric_candidates(
     max_block_size: int = 1000,
     rows_per_salt: int = 256,
     max_salts: int = 32,
+    broadcast_max_rows: int = DICT_BROADCAST_MAX_ROWS,
+    batch_rows: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Candidate pairs touching the NEW side only: new↔old and new↔new,
     never old↔old — the incremental-ingest shape (ADVICE r01: building
@@ -320,8 +369,16 @@ def asymmetric_candidates(
     f_all = _pass_keys(
         all_keyed, "entity_key", {"nm": "norm_name", "srt": "_token_sorted"}
     )
+    # every broadcast here is of a BATCH-key-derived frame (the block-key
+    # semi-join probe and the two salt-map attaches below) — small for
+    # normal batches, but a giant backfill batch grows them all, so one
+    # size gate on the batch row count covers the three hints (round-4
+    # verdict item 1 applied to the batch-bounded sites)
+    batch_small = _key_frames_small(new_keyed, batch_rows, broadcast_max_rows)
     new_blocks = f_new.select("block_pass", "block_key").distinct()
-    touched = f_all.join(F.broadcast(new_blocks), ["block_pass", "block_key"])
+    touched = f_all.join(
+        _maybe_broadcast(new_blocks, batch_small), ["block_pass", "block_key"]
+    )
     sizes = touched.groupBy("block_pass", "block_key").agg(F.count("*").alias("block_n"))
     dropped = sizes.filter(F.col("block_n") > max_block_size).select(
         "block_pass", "block_key", "block_n"
@@ -333,7 +390,9 @@ def asymmetric_candidates(
         ).cast("int"),
     )
     salted_all = touched.join(
-        F.broadcast(ok.select("block_pass", "block_key", "n_salts")),
+        _maybe_broadcast(
+            ok.select("block_pass", "block_key", "n_salts"), batch_small
+        ),
         ["block_pass", "block_key"],
     ).select(
         "block_pass",
@@ -344,7 +403,9 @@ def asymmetric_candidates(
         F.col("srt").alias("a_sorted"),
     )
     replicated_new = f_new.join(
-        F.broadcast(ok.select("block_pass", "block_key", "n_salts")),
+        _maybe_broadcast(
+            ok.select("block_pass", "block_key", "n_salts"), batch_small
+        ),
         ["block_pass", "block_key"],
     ).select(
         "block_pass",

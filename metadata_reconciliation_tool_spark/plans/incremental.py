@@ -96,10 +96,14 @@ class IncrementalRecon:
         self.success_threshold = _resolve("success_threshold", success_threshold, 0.5)
         self.max_block_size = max_block_size
         self.auto_compact_every = auto_compact_every
-        # bounded-probe result for the dictionary broadcast gate, cached per
-        # instance: the authority dictionary is stable for a job's lifetime
-        # (state was scored against it), so one probe covers every ingest
-        self._dict_broadcast: bool | None = None
+        # bounded-probe results for the dictionary broadcast gate, keyed by
+        # the dictionary plan's semanticHash (ADVICE r4 low: the former
+        # per-instance bool assumed "the dictionary is stable" by comment
+        # only — an ingest called with a DIFFERENT, larger dictionary reused
+        # a stale broadcast=True verdict and could broadcast a >2M-row
+        # exploded key frame). Same plan → cached verdict; a changed
+        # dictionary re-probes.
+        self._dict_broadcast: dict[int, bool] = {}
 
     def _read_job_config(self) -> dict:
         import json
@@ -282,13 +286,19 @@ class IncrementalRecon:
         scoring stage is partitioned by pair_kind (pipeline.py) while batch
         dirs are flat, and Spark refuses a single multi-root read over
         mixed/partitioned layouts; per-root reads also let a pair_kind
-        filter prune the bootstrap's partitions through the union."""
+        filter prune the bootstrap's partitions through the union.
+
+        The bootstrap root goes through ``W.read_stage`` (ADVICE r4 low: a
+        bare ``spark.read.parquet`` bypassed the ``_schema`` anchor fallback
+        that write_stage creates precisely for EMPTY partitioned stages — a
+        zero-candidate bootstrap made every subsequent read fail with an
+        unable-to-infer-schema error)."""
         from functools import reduce
 
-        paths = [self._stage(name)] + [
-            os.path.join(self._batch_dir(b), name) for b in self.committed_batches()
+        frames = [W.read_stage(self.spark, self._stage(name))] + [
+            self.spark.read.parquet(os.path.join(self._batch_dir(b), name))
+            for b in self.committed_batches()
         ]
-        frames = [self.spark.read.parquet(p) for p in paths]
         return reduce(
             lambda a, b: a.unionByName(b, allowMissingColumns=False), frames
         )
@@ -365,15 +375,17 @@ class IncrementalRecon:
 
         nkeyed = B.add_block_keys(new_distinct)
         dkeyed = B.add_block_keys(E.prepare_dictionary(dictionary), "norm_label")
-        # new ↔ dictionary; the broadcast-gate probe runs once per instance,
-        # not once per ingest (the job's dictionary is stable)
-        if self._dict_broadcast is None:
-            self._dict_broadcast = (
+        # new ↔ dictionary; the broadcast-gate probe runs once per DISTINCT
+        # dictionary plan, not once per ingest — the common stable-dictionary
+        # job pays one probe, a swapped dictionary re-probes (ADVICE r4 low)
+        dict_id = dictionary.semanticHash()
+        if dict_id not in self._dict_broadcast:
+            self._dict_broadcast[dict_id] = (
                 dkeyed.limit(B.DICT_BROADCAST_MAX_ROWS + 1).count()
                 <= B.DICT_BROADCAST_MAX_ROWS
             )
         dict_pairs = B.dictionary_candidates(
-            nkeyed, dkeyed, broadcast=self._dict_broadcast
+            nkeyed, dkeyed, broadcast=self._dict_broadcast[dict_id]
         ).withColumn("pair_kind", F.lit("dict"))
         # new ↔ (old ∪ new), old↔old never materialized
         all_keyed = B.add_block_keys(old_distinct).unionByName(nkeyed)

@@ -76,6 +76,10 @@ class ReconPipeline:
         # wall seconds per computed stage (resume read-backs not recorded) —
         # free observability: no extra Spark jobs, just driver-side clocks
         self.stage_walls: dict[str, float] = {}
+        # observed row count per computed stage — reused as the known-size
+        # input to downstream broadcast gates (saves their bounded probe
+        # jobs); absent on resume read-backs, where the gates probe instead
+        self.stage_rows: dict[str, int] = {}
 
     # -- stage plumbing ------------------------------------------------------
 
@@ -114,6 +118,7 @@ class ReconPipeline:
         self.stage_walls[stage] = round(time.monotonic() - t0, 3)
         out = W.read_stage(self.spark, path)
         if obs is not None:
+            self.stage_rows[stage] = int(obs.get["rows"])
             self._metric(stage, "rows", float(obs.get["rows"]))
             self._metric(stage, "wall_sec", self.stage_walls[stage])
         return out
@@ -172,7 +177,12 @@ class ReconPipeline:
             dict_pairs = B.dictionary_candidates(
                 ekeyed, dkeyed, broadcast=self._dict_small(dictionary)
             ).withColumn("pair_kind", F.lit("dict"))
-            self_pairs, dropped = B.self_candidates(ekeyed, self.cfg.max_block_size)
+            self_pairs, dropped = B.self_candidates(
+                ekeyed,
+                self.cfg.max_block_size,
+                broadcast_max_rows=self.cfg.broadcast_max_rows,
+                entity_rows=self.stage_rows.get("entities_distinct"),
+            )
             if self.cfg.collect_metrics:
                 self._metric(
                     "blocking", "oversized_blocks_dropped", float(dropped.count())
@@ -275,20 +285,44 @@ class ReconPipeline:
         instead of trusting the caller to repeat them (ADVICE r3 medium: a
         bootstrap bar below 0.5 silently diverged from the incremental 0.5
         default — pruned rows carried upper-bound scores above the consumer's
-        bar, flipping best-match/job-status decisions per batch)."""
+        bar, flipping best-match/job-status decisions per batch).
+
+        Resume guard (ADVICE r4 medium): when existing stages will be READ
+        BACK (scoring stage present, ``force=False``), the persisted config
+        describes the bars those tables were scored under — a contradicting
+        cfg RAISES instead of silently rewriting the record while serving
+        stale-bar tables; a matching cfg leaves the file untouched. The
+        config is (re)written only when scoring will actually be
+        (re)computed."""
         import json
 
         job_dir = os.path.join(self.cfg.work_dir, self.cfg.job_id)
+        cfg_path = os.path.join(job_dir, "job_config.json")
+        current = {
+            "match_threshold": self.cfg.match_threshold,
+            "success_threshold": self.cfg.success_threshold,
+            "max_block_size": self.cfg.max_block_size,
+        }
+        resuming = not self.cfg.force and W.stage_exists(
+            self.spark, self._path("scoring")
+        )
+        if resuming and os.path.exists(cfg_path):
+            with open(cfg_path) as fh:
+                persisted = json.load(fh)
+            for name in ("match_threshold", "success_threshold"):
+                stored = persisted.get(name)
+                if stored is not None and abs(current[name] - stored) > 1e-12:
+                    raise ValueError(
+                        f"{name}={current[name]} contradicts the persisted "
+                        f"{name}={stored} (job_config.json) and the scoring "
+                        "stage would be resumed from disk — rerun with "
+                        "force=True to rescore under the new bars, or drop "
+                        "the override"
+                    )
+            return  # read-back run: the persisted record stays authoritative
         os.makedirs(job_dir, exist_ok=True)
-        with open(os.path.join(job_dir, "job_config.json"), "w") as fh:
-            json.dump(
-                {
-                    "match_threshold": self.cfg.match_threshold,
-                    "success_threshold": self.cfg.success_threshold,
-                    "max_block_size": self.cfg.max_block_size,
-                },
-                fh,
-            )
+        with open(cfg_path, "w") as fh:
+            json.dump(current, fh)
 
     def run(self, transcripts: DataFrame, dictionary: DataFrame) -> dict[str, DataFrame]:
         self._write_job_config()

@@ -36,12 +36,24 @@ def latest_labels(labels: DataFrame) -> DataFrame:
     )
 
 
-def apply_labels(dict_scores: DataFrame, labels: DataFrame) -> DataFrame:
+def apply_labels(
+    dict_scores: DataFrame,
+    labels: DataFrame,
+    broadcast_max_rows: int = 2_000_000,
+) -> DataFrame:
     """J5: attach user_approved to scored candidates. Approving one
     candidate implicitly un-approves the entity's others (the reference
     clears them with a second UPDATE, database.py:470-478) — expressed here
     as: approved=true only for the labeled pair, false for siblings of an
-    approved entity, null (unreviewed) elsewhere."""
+    approved entity, null (unreviewed) elsewhere.
+
+    The approved-entities attach join's broadcast hint is SIZE-GATED
+    (round-4 verdict item 3: the labels table is append-only and grows
+    monotonically for the job's life — human-scale in practice, unbounded
+    by contract). The gate is a bounded ``limit(max+1).count()`` probe of
+    the RAW labels frame (a sound upper bound on approved entities that
+    needs no window/shuffle; the scan stops at the gate). Over the gate,
+    no hint — AQE still broadcasts when runtime stats allow."""
     lab = latest_labels(labels).select(
         F.col("entity_key").alias("left_key"),
         F.col("auth_id").alias("right_key"),
@@ -51,8 +63,10 @@ def apply_labels(dict_scores: DataFrame, labels: DataFrame) -> DataFrame:
     approved_entities = lab.filter(F.col("user_approved")).select(
         F.col("left_key"), F.lit(True).alias("_entity_has_approval")
     ).distinct()
+    if labels.limit(broadcast_max_rows + 1).count() <= broadcast_max_rows:
+        approved_entities = F.broadcast(approved_entities)
     return (
-        scored.join(F.broadcast(approved_entities), "left_key", "left")
+        scored.join(approved_entities, "left_key", "left")
         .withColumn(
             "user_approved",
             F.when(F.col("user_approved").isNotNull(), F.col("user_approved"))

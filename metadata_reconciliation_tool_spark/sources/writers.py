@@ -135,14 +135,35 @@ def stage_exists(spark: SparkSession, path: str) -> bool:
     return os.path.exists(os.path.join(path, "_SUCCESS"))
 
 
+def _is_no_data_files_error(exc: Exception) -> bool:
+    """True only for the one failure the ``_schema`` anchor exists for: a
+    stage directory with NO data files to infer a schema from (the empty
+    partitioned write). Anything else — corrupt footers, partially deleted
+    data, permission failures — must propagate (ADVICE r4 low: the former
+    blanket fallback read a CORRUPT stage back as an empty frame, masking
+    data loss as an empty stage)."""
+    condition = None
+    for getter in ("getCondition", "getErrorClass"):
+        fn = getattr(exc, getter, None)
+        if fn is not None:
+            try:
+                condition = fn()
+                break
+            except Exception:  # pragma: no cover - non-captured exception
+                pass
+    if condition is not None:
+        return condition == "UNABLE_TO_INFER_SCHEMA"
+    return "UNABLE_TO_INFER_SCHEMA" in str(exc) or "Unable to infer schema" in str(exc)
+
+
 def read_stage(spark: SparkSession, path: str) -> DataFrame:
     if _is_table_identifier(path):
         return spark.table(path)
     try:
         return spark.read.parquet(path)
-    except Exception:  # noqa: BLE001 — empty partitioned stage (no part files)
+    except Exception as exc:  # noqa: BLE001 — narrowed below
         anchor = os.path.join(path, "_schema")
-        if os.path.isdir(anchor):
+        if _is_no_data_files_error(exc) and os.path.isdir(anchor):
             return spark.read.parquet(anchor)
         raise
 

@@ -625,3 +625,63 @@ def test_consolidated_dirs_merge_at_level_threshold(spark, bundle, tmp_path):
     assert out["new_scores"].count() == 0
     assert inc.committed_batches() == ["compact000002"]
     assert _state_rows(spark, work) == before
+
+
+def test_dict_broadcast_gate_reprobes_on_dictionary_change(spark, bundle, tmp_path):
+    """ADVICE r4 low: the broadcast-gate verdict is keyed on the dictionary
+    plan's identity — an ingest with a DIFFERENT dictionary re-probes
+    instead of reusing a stale verdict."""
+    from metadata_reconciliation_tool_spark.plans.incremental import IncrementalRecon
+    from metadata_reconciliation_tool_spark.plans.pipeline import (
+        ReconConfig,
+        ReconPipeline,
+    )
+
+    t = bundle["transcripts"]
+    b1 = t.filter(F.crc32(F.col("conv_id")) % 3 == 0)
+    b2 = t.filter(F.crc32(F.col("conv_id")) % 3 == 1)
+    b3 = t.filter(F.crc32(F.col("conv_id")) % 3 == 2)
+    work = str(tmp_path / "w")
+    ReconPipeline(
+        spark, ReconConfig(job_id="j", work_dir=work, force=True, collect_metrics=False)
+    ).run(b1, bundle["dictionary"])
+
+    inc = IncrementalRecon(spark, work, "j")
+    inc.ingest_batch(b2, bundle["dictionary"])
+    assert len(inc._dict_broadcast) == 1
+    # same dictionary again: cached, no new entry
+    inc.ingest_batch(b3, bundle["dictionary"], batch_id="bx")
+    assert len(inc._dict_broadcast) == 1
+    # a different dictionary (extra row) gets its own probed verdict
+    extra = bundle["dictionary"].unionByName(bundle["dictionary"].limit(1))
+    inc.ingest_batch(b3.limit(0), extra, batch_id="by")
+    assert len(inc._dict_broadcast) == 2
+
+
+def test_read_state_survives_empty_partitioned_bootstrap(spark, bundle, tmp_path):
+    """ADVICE r4 low: a bootstrap whose partitioned scoring stage is EMPTY
+    (zero candidate pairs) must stay readable — _read_state goes through
+    read_stage's _schema anchor instead of a bare spark.read.parquet."""
+    import os
+
+    from metadata_reconciliation_tool_spark.plans.incremental import IncrementalRecon
+    from metadata_reconciliation_tool_spark.sources import writers as W
+
+    work = str(tmp_path / "w")
+    base = os.path.join(work, "j")
+    # bootstrap with rows in entities_distinct but an EMPTY partitioned
+    # scoring stage — the exact shape a zero-candidate bootstrap writes
+    ents = spark.createDataFrame(
+        [("e1", "n", "n", "person")],
+        "entity_key string, name string, norm_name string, entity_type string",
+    )
+    W.write_stage(ents, os.path.join(base, "stage_entities_distinct"))
+    scores = spark.createDataFrame(
+        [],
+        "left_key string, right_key string, score double, is_match boolean, "
+        "pair_kind string",
+    )
+    W.write_stage(scores, os.path.join(base, "stage_scoring"), ["pair_kind"])
+    inc = IncrementalRecon(spark, work, "j")
+    assert inc._read_state("scoring").count() == 0
+    assert inc._read_state("entities_distinct").count() == 1

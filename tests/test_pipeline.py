@@ -179,3 +179,52 @@ def test_best_match_label_join_gate_parity(spark, bundle, pipeline_out, tmp_path
     a = sorted(map(tuple, forced.collect()))
     b = sorted(map(tuple, best.collect()))
     assert a == b
+
+
+def test_job_config_resume_guard(spark, bundle, tmp_path):
+    """ADVICE r4 medium: run() must not rewrite job_config.json while
+    serving stages scored under the OLD bars. Contradicting thresholds on
+    a resume raise; force=True rescores and records the new bars; a
+    matching resume leaves the persisted record untouched."""
+    import json
+    import os
+
+    from metadata_reconciliation_tool_spark.plans.pipeline import (
+        ReconConfig,
+        ReconPipeline,
+    )
+
+    work = str(tmp_path / "w")
+    cfg = ReconConfig(job_id="g", work_dir=work, force=True, collect_metrics=False)
+    ReconPipeline(spark, cfg).run(bundle["transcripts"], bundle["dictionary"])
+    cfg_path = os.path.join(work, "g", "job_config.json")
+    with open(cfg_path) as fh:
+        recorded = json.load(fh)
+    assert recorded["success_threshold"] == cfg.success_threshold
+
+    # contradicting bar + resume (force=False) → raise, file untouched
+    bad = ReconConfig(
+        job_id="g", work_dir=work, force=False, collect_metrics=False,
+        success_threshold=0.42,
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="success_threshold"):
+        ReconPipeline(spark, bad).run(bundle["transcripts"], bundle["dictionary"])
+    with open(cfg_path) as fh:
+        assert json.load(fh) == recorded  # record not clobbered
+
+    # matching resume: runs, record unchanged
+    same = ReconConfig(job_id="g", work_dir=work, force=False, collect_metrics=False)
+    ReconPipeline(spark, same).run(bundle["transcripts"], bundle["dictionary"])
+    with open(cfg_path) as fh:
+        assert json.load(fh) == recorded
+
+    # force=True with new bars: rescores and records them
+    forced = ReconConfig(
+        job_id="g", work_dir=work, force=True, collect_metrics=False,
+        success_threshold=0.42,
+    )
+    ReconPipeline(spark, forced).run(bundle["transcripts"], bundle["dictionary"])
+    with open(cfg_path) as fh:
+        assert json.load(fh)["success_threshold"] == 0.42

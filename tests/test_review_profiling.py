@@ -88,3 +88,23 @@ def test_resolve_column_fuzzy(spark):
     assert resolve_column(df, "creator_name") == "Creator_Name"
     assert resolve_column(df, "creator") == "Creator_Name"
     assert resolve_column(df, "zzz") is None
+
+
+def test_apply_labels_broadcast_gate_parity(spark):
+    """Round-4 verdict item 3: the approved-entities attach broadcast is
+    size-gated (labels are append-only, unbounded by contract). Gate forced
+    off (broadcast_max_rows=0) must be row-identical to the default."""
+    from metadata_reconciliation_tool_spark.plans.review import apply_labels
+
+    labels = spark.createDataFrame(
+        [("e1", "Q1", True, 1), ("e2", "Q3", False, 2)],
+        "entity_key string, auth_id string, user_approved boolean, label_seq long",
+    )
+    default = sorted(map(tuple, apply_labels(_scores(spark), labels).collect()))
+    forced = sorted(
+        map(
+            tuple,
+            apply_labels(_scores(spark), labels, broadcast_max_rows=0).collect(),
+        )
+    )
+    assert default == forced and len(default) == 3

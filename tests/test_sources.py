@@ -133,3 +133,40 @@ def test_iceberg_probe_cached_per_session(spark):
     finally:
         W._probe_iceberg = orig
         W._ICEBERG_PROBE_CACHE.pop(key, None)
+
+
+def test_read_stage_corrupt_data_raises_not_empty(spark, tmp_path):
+    """ADVICE r4 low: read_stage's _schema fallback is ONLY for the
+    empty-partitioned-stage case. A corrupt part file (bad footer) with an
+    intact _schema anchor must RAISE — never silently read back as an
+    empty frame (data loss masked as an empty stage)."""
+    import glob
+    import os
+
+    import pytest
+
+    from metadata_reconciliation_tool_spark.sources import writers as W
+
+    path = str(tmp_path / "stage_corrupt")
+    df = spark.createDataFrame(
+        [("a", "k1"), ("b", "k2")], "v string, pk string"
+    )
+    W.write_stage(df, path, ["pk"])
+    # sanity: reads fine before corruption
+    assert W.read_stage(spark, path).count() == 2
+    parts = [
+        p
+        for p in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        if "_schema" not in p
+    ]
+    assert parts
+    for p in parts:
+        with open(p, "wb") as fh:
+            fh.write(b"not a parquet file")
+    with pytest.raises(Exception):
+        W.read_stage(spark, path).collect()
+
+    # the empty-stage fallback still works: no data files at all, anchor intact
+    empty = str(tmp_path / "stage_empty")
+    W.write_stage(df.limit(0), empty, ["pk"])
+    assert W.read_stage(spark, empty).count() == 0
