@@ -67,6 +67,48 @@ class ReconConfig:
     checkpoint_entities: bool = False
 
 
+def build_best_matches(
+    distinct: DataFrame,
+    dict_scores: DataFrame,
+    dictionary: DataFrame,
+    success_threshold: float,
+    dict_small: bool,
+) -> DataFrame:
+    """Rank-1 dictionary match per entity with the size-gated label attach
+    — ONE definition shared by the bootstrap stage and the per-batch
+    incremental delta (round-4 verdict item 2: the refresh must rank under
+    exactly the bars and join strategy the bootstrap used, or post-ingest
+    best matches silently diverge from a full run).
+
+    The label join is O(n_entities): broadcast of the two-column label map
+    when ``dict_small`` (the caller's bounded-probe verdict), else a plain
+    shuffle join AQE load-balances. The label deliberately does NOT ride
+    the pair shuffle from blocking — built and measured at ~+100 cpu·s per
+    34M pairs in round 4 (see operators/blocking.py note)."""
+    best = R.best_match(dict_scores.filter(F.col("score") > success_threshold))
+    dic = dictionary.select(
+        F.col("auth_id").alias("right_key"),
+        F.col("label").alias("match_label"),
+    )
+    if dict_small:
+        dic = F.broadcast(dic)
+    return (
+        distinct.select("entity_key", "name", "norm_name", "entity_type")
+        .join(best, F.col("entity_key") == best["left_key"], "left")
+        .join(dic, "right_key", "left")
+        .select(
+            "entity_key",
+            "name",
+            "norm_name",
+            "entity_type",
+            "right_key",
+            "match_label",
+            "score",
+            "confidence",
+        )
+    )
+
+
 class ReconPipeline:
     def __init__(self, spark: SparkSession, cfg: ReconConfig):
         self.spark = spark
@@ -248,31 +290,17 @@ class ReconPipeline:
         load-balances. The label deliberately does NOT ride the pair
         shuffle from blocking: that alternative was built and measured
         ~+100 cpu·s at 34M pairs (the attach here costs O(n_entities),
-        pairs ≫ entities at every scale — see blocking.py note)."""
+        pairs ≫ entities at every scale — see blocking.py note).
+
+        Plan shared with the incremental per-batch delta via
+        :func:`build_best_matches`."""
         def compute():
-            best = R.best_match(
-                dict_scores.filter(F.col("score") > self.cfg.success_threshold)
-            )
-            dic = dictionary.select(
-                F.col("auth_id").alias("right_key"),
-                F.col("label").alias("match_label"),
-            )
-            if self._dict_small(dictionary):
-                dic = F.broadcast(dic)
-            return (
-                distinct.select("entity_key", "name", "norm_name", "entity_type")
-                .join(best, F.col("entity_key") == best["left_key"], "left")
-                .join(dic, "right_key", "left")
-                .select(
-                    "entity_key",
-                    "name",
-                    "norm_name",
-                    "entity_type",
-                    "right_key",
-                    "match_label",
-                    "score",
-                    "confidence",
-                )
+            return build_best_matches(
+                distinct,
+                dict_scores,
+                dictionary,
+                self.cfg.success_threshold,
+                self._dict_small(dictionary),
             )
 
         return self._run_stage("best", compute)
