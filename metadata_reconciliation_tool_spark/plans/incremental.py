@@ -49,6 +49,7 @@ from ..operators import blocking as B
 from ..operators import clustering as C
 from ..operators import extract as E
 from ..operators import scoring as S
+from ..sources import statefs as StateFS
 from ..sources import writers as W
 
 COMMIT_MARKER = "_COMMITTED"
@@ -59,7 +60,8 @@ class IncrementalRecon:
                  match_threshold: float | None = None,
                  max_block_size: int = 1000,
                  auto_compact_every: int | None = 64,
-                 success_threshold: float | None = None):
+                 success_threshold: float | None = None,
+                 fs=None):
         """``auto_compact_every``: fold committed batch dirs into one
         consolidated dir whenever that many are live (None disables) — keeps
         state reads and the per-ingest listdir O(auto_compact_every) no
@@ -77,6 +79,11 @@ class IncrementalRecon:
         min(match_threshold, success_threshold)."""
         self.spark = spark
         self.base = os.path.join(work_dir, job_id)
+        # all job-state METADATA io (markers, manifests, sidecars, config,
+        # listings) goes through the shim — LocalStateFS in the sandbox, an
+        # object-store impl in production (sources/statefs.py); stage DATA
+        # stays with Spark via sources/writers
+        self.fs = fs if fs is not None else StateFS.LocalStateFS()
         persisted = self._read_job_config()
 
         def _resolve(name: str, given: float | None, default: float) -> float:
@@ -111,8 +118,9 @@ class IncrementalRecon:
         import json
 
         try:
-            with open(os.path.join(self.base, "job_config.json")) as fh:
-                return json.load(fh)
+            return json.loads(
+                self.fs.read_text(os.path.join(self.base, "job_config.json"))
+            )
         except (OSError, ValueError):
             return {}
 
@@ -124,11 +132,11 @@ class IncrementalRecon:
 
     def _committed_raw(self) -> list[str]:
         root = os.path.join(self.base, "batches")
-        if not os.path.isdir(root):
+        if not self.fs.isdir(root):
             return []
         return sorted(
-            b for b in os.listdir(root)
-            if os.path.exists(os.path.join(root, b, COMMIT_MARKER))
+            b for b in self.fs.listdir(root)
+            if self.fs.exists(os.path.join(root, b, COMMIT_MARKER))
         )
 
     def _covered(self) -> set[str]:
@@ -140,9 +148,8 @@ class IncrementalRecon:
         covered: set[str] = set()
         for b in self._committed_raw():
             manifest = os.path.join(self._batch_dir(b), "covers.json")
-            if os.path.exists(manifest):
-                with open(manifest) as fh:
-                    covered.update(json.load(fh))
+            if self.fs.exists(manifest):
+                covered.update(json.loads(self.fs.read_text(manifest)))
         return covered
 
     def committed_batches(self) -> list[str]:
@@ -153,12 +160,10 @@ class IncrementalRecon:
         """Drop batch dirs already folded into a committed compaction —
         retried here (ingest/compact entry) so a crash after the compaction
         commit heals on the next call."""
-        import shutil
-
         for b in self._covered():
             d = self._batch_dir(b)
-            if os.path.isdir(d):
-                shutil.rmtree(d)
+            if self.fs.isdir(d) or self.fs.exists(d):
+                self.fs.rmtree(d)
 
     def compact(
         self, keep: list[str] | None = None, merge_consolidated_at: int = 4
@@ -250,13 +255,12 @@ class IncrementalRecon:
         covers = set(batch_ids)
         for b in batch_ids:
             manifest = os.path.join(self._batch_dir(b), "covers.json")
-            if os.path.exists(manifest):
-                with open(manifest) as fh:
-                    covers.update(json.load(fh))
-        with open(os.path.join(cdir, "covers.json"), "w") as fh:
-            json.dump(sorted(covers), fh)
-        with open(os.path.join(cdir, COMMIT_MARKER), "w") as fh:
-            fh.write("")
+            if self.fs.exists(manifest):
+                covers.update(json.loads(self.fs.read_text(manifest)))
+        self.fs.write_text(
+            os.path.join(cdir, "covers.json"), json.dumps(sorted(covers))
+        )
+        self.fs.write_text(os.path.join(cdir, COMMIT_MARKER), "")
         return cid
 
     def _reflect_path(self) -> str:
@@ -268,8 +272,7 @@ class IncrementalRecon:
         import json
 
         try:
-            with open(self._reflect_path()) as fh:
-                return json.load(fh)
+            return json.loads(self.fs.read_text(self._reflect_path()))
         except (OSError, ValueError):
             # bootstrap clusters (full run reflects zero incremental batches)
             return [] if W.stage_exists(self.spark, self._stage("clusters")) else None
@@ -277,8 +280,7 @@ class IncrementalRecon:
     def _write_clusters_reflect(self, batch_ids: list[str]) -> None:
         import json
 
-        with open(self._reflect_path(), "w") as fh:
-            json.dump(sorted(batch_ids), fh)
+        self.fs.write_text(self._reflect_path(), json.dumps(sorted(batch_ids)))
 
     def _read_state(self, name: str) -> DataFrame:
         """Bootstrap stage ∪ committed batch appends (uncommitted partial
@@ -341,7 +343,7 @@ class IncrementalRecon:
             batch_id = f"b{n}"
         bdir = self._batch_dir(batch_id)
 
-        if os.path.exists(os.path.join(bdir, COMMIT_MARKER)):
+        if self.fs.exists(os.path.join(bdir, COMMIT_MARKER)):
             committed = self.committed_batches()
             reflected = self._clusters_reflect()
             if reflected is None or set(committed) != set(reflected):
@@ -433,8 +435,7 @@ class IncrementalRecon:
             self._dict_broadcast[dict_id],
         )
         batch_best.write.mode("overwrite").parquet(os.path.join(bdir, "best"))
-        with open(os.path.join(bdir, COMMIT_MARKER), "w") as fh:
-            fh.write("")
+        self.fs.write_text(os.path.join(bdir, COMMIT_MARKER), "")
 
         # refresh clusters — derived state, rebuilt after commit (safe to
         # lose: recomputable from the log). See _refresh_clusters.

@@ -35,6 +35,7 @@ from ..operators import clustering as C
 from ..operators import extract as E
 from ..operators import ranking as R
 from ..operators import scoring as S
+from ..sources import statefs as StateFS
 from ..sources import writers as W
 
 
@@ -110,9 +111,13 @@ def build_best_matches(
 
 
 class ReconPipeline:
-    def __init__(self, spark: SparkSession, cfg: ReconConfig):
+    def __init__(self, spark: SparkSession, cfg: ReconConfig, fs=None):
         self.spark = spark
         self.cfg = cfg
+        # job-state metadata (job_config.json) goes through the StateFS
+        # shim — object-store-backed in production, local by default
+        # (sources/statefs.py; round-4 verdict item 6)
+        self.fs = fs if fs is not None else StateFS.LocalStateFS()
         self._metrics_rows: list[tuple[str, str, str, float]] = []
         self._dict_small_cache: bool | None = None
         # wall seconds per computed stage (resume read-backs not recorded) —
@@ -334,9 +339,8 @@ class ReconPipeline:
         resuming = not self.cfg.force and W.stage_exists(
             self.spark, self._path("scoring")
         )
-        if resuming and os.path.exists(cfg_path):
-            with open(cfg_path) as fh:
-                persisted = json.load(fh)
+        if resuming and self.fs.exists(cfg_path):
+            persisted = json.loads(self.fs.read_text(cfg_path))
             for name in ("match_threshold", "success_threshold"):
                 stored = persisted.get(name)
                 if stored is not None and abs(current[name] - stored) > 1e-12:
@@ -348,9 +352,7 @@ class ReconPipeline:
                         "the override"
                     )
             return  # read-back run: the persisted record stays authoritative
-        os.makedirs(job_dir, exist_ok=True)
-        with open(cfg_path, "w") as fh:
-            json.dump(current, fh)
+        self.fs.write_text(cfg_path, json.dumps(current))
 
     def run(self, transcripts: DataFrame, dictionary: DataFrame) -> dict[str, DataFrame]:
         self._write_job_config()
