@@ -253,9 +253,24 @@ BMP_FEATURES_SCHEMA = T.StructType(
 )
 
 
+# corrupt-shard guard (round-4 verdict item 8): a single flipped bit in a
+# dims field must produce a TYPED, diagnosable error — never a multi-GB
+# numpy allocation or an opaque buffer-overrun ValueError from frombuffer.
+# 2^26 pixels (≈200 MB decoded) is far above any sane inline-media payload.
+MAX_DECODE_PIXELS = 1 << 26
+
+
 def decode_bmp_py(payload: bytes) -> dict:
     """REAL BMP decode: struct header parse (magic, data offset, dims, 24bpp
-    check), padded bottom-up BGR row read, numpy channel stats."""
+    check), padded bottom-up BGR row read, numpy channel stats.
+
+    Malformed payloads (truncation, bit flips — the corrupt-shard case at
+    100 TB) raise ``ValueError`` with a diagnostic message; every length is
+    validated BEFORE any numpy buffer read (round-4 verdict item 8)."""
+    if len(payload) < 54:
+        raise ValueError(
+            f"truncated BMP payload: {len(payload)} bytes < 54-byte header"
+        )
     magic, file_size, _, _, offset = struct.unpack_from("<2sIHHI", payload, 0)
     if magic != b"BM":
         raise ValueError("not a BMP payload")
@@ -263,7 +278,18 @@ def decode_bmp_py(payload: bytes) -> dict:
     planes, bpp = struct.unpack_from("<HH", payload, 26)
     if bpp != 24 or hdr_size < 40:
         raise ValueError(f"unsupported BMP variant (bpp={bpp})")
+    if w <= 0 or h == 0 or w * abs(h) > MAX_DECODE_PIXELS:
+        raise ValueError(f"implausible BMP dims {w}x{h} (corrupt header?)")
     row_size = (w * 3 + 3) // 4 * 4
+    if offset < 54:
+        raise ValueError(f"BMP data offset {offset} overlaps the headers")
+    need = offset + row_size * abs(h)
+    if need > len(payload):
+        raise ValueError(
+            f"truncated BMP payload: need {need} bytes "
+            f"({abs(h)} rows × {row_size} from offset {offset}), "
+            f"have {len(payload)}"
+        )
     px = np.zeros((abs(h), w, 3), dtype=np.uint8)
     for yfile in range(abs(h)):
         row = np.frombuffer(payload, dtype=np.uint8, count=w * 3, offset=offset + yfile * row_size)
@@ -377,22 +403,36 @@ def decode_y4m_py(payload: bytes) -> list[dict]:
     planes — with numpy per-plane stats per frame. Supports C444 (full
     chroma, the synthetic-payload shape) and the spec-default C420 family
     (``C420jpeg``/``C420mpeg2``/``C420paldv``/``C420``: quarter-resolution
-    chroma planes, w/2 × h/2 — even dims required)."""
-    nl = payload.index(b"\n")
+    chroma planes, w/2 × h/2 — even dims required).
+
+    Malformed payloads (truncation incl. mid-frame EOF, bit flips — the
+    corrupt-shard case at 100 TB) raise ``ValueError`` with a diagnostic
+    message; every frame's length is validated BEFORE any numpy buffer
+    read (round-4 verdict item 8)."""
+    nl = payload.find(b"\n")
+    if nl < 0:
+        raise ValueError("truncated Y4M payload: unterminated stream header")
     tokens = payload[:nl].split(b" ")
     if tokens[0] != b"YUV4MPEG2":
         raise ValueError("not a YUV4MPEG2 stream")
     w = h = None
     colorspace = b"C420jpeg"  # spec default when no C token present
     for t in tokens[1:]:
-        if t.startswith(b"W"):
-            w = int(t[1:])
-        elif t.startswith(b"H"):
-            h = int(t[1:])
+        if t.startswith(b"W") or t.startswith(b"H"):
+            try:
+                v = int(t[1:])
+            except ValueError:
+                raise ValueError(f"malformed Y4M header token {t!r}") from None
+            if t.startswith(b"W"):
+                w = v
+            else:
+                h = v
         elif t.startswith(b"C"):
             colorspace = t
     if w is None or h is None:
         raise ValueError("missing W/H header tokens")
+    if w <= 0 or h <= 0 or w * h > MAX_DECODE_PIXELS:
+        raise ValueError(f"implausible Y4M dims {w}x{h} (corrupt header?)")
     if colorspace == b"C444":
         cw, ch = w, h
     elif colorspace in (b"C420", b"C420jpeg", b"C420mpeg2", b"C420paldv"):
@@ -405,10 +445,21 @@ def decode_y4m_py(payload: bytes) -> list[dict]:
     pos = nl + 1
     frames: list[dict] = []
     while pos < len(payload):
-        fnl = payload.index(b"\n", pos)
+        fnl = payload.find(b"\n", pos)
+        if fnl < 0:
+            raise ValueError(
+                f"truncated Y4M payload: unterminated FRAME header at "
+                f"byte {pos} (frame {len(frames)})"
+            )
         if payload[pos:fnl].split(b" ")[0] != b"FRAME":
             raise ValueError("expected FRAME marker")
         pos = fnl + 1
+        if pos + y_n + 2 * c_n > len(payload):
+            raise ValueError(
+                f"truncated Y4M payload: frame {len(frames)} needs "
+                f"{y_n + 2 * c_n} plane bytes at byte {pos}, payload has "
+                f"{len(payload) - pos} left"
+            )
         yp = np.frombuffer(payload, dtype=np.uint8, count=y_n, offset=pos).astype(np.int64)
         cb = np.frombuffer(payload, dtype=np.uint8, count=c_n, offset=pos + y_n).astype(np.int64)
         cr = np.frombuffer(
