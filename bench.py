@@ -141,10 +141,23 @@ def main() -> None:
         if len(runs) == 1 or runs[-1] < min(runs[:-1]):
             extra["stage_walls"] = dict(pipe.stage_walls)
         if i == 0:
-            scored = out["dict_scores"].count() + out["self_scores"].count()
+            # true pair counts OBSERVED on the scoring write (the stage
+            # table persists only a capped subset since round 5 —
+            # operators/scoring.py cap_persisted_scores — so counting the
+            # stage would understate throughput ~17×)
+            stats = getattr(pipe, "scoring_stats", {}) or {}
+            scored = stats.get("scored_pairs") or (
+                out["dict_scores"].count() + out["self_scores"].count()
+            )
             # recorded prune evidence: pairs whose sound upper bound kept
             # them out of the python kernels (operators/scoring.py)
-            extra["pruned_pairs"] = out["scores"].filter("score_pruned").count()
+            extra["pruned_pairs"] = (
+                stats.get("pruned_pairs")
+                if stats.get("pruned_pairs") is not None
+                else out["scores"].filter("score_pruned").count()
+            )
+            if stats.get("persisted_rows") is not None:
+                extra["persisted_scoring_rows"] = stats["persisted_rows"]
     recon_sec = min(runs)
     timings["recon_pipeline"] = round(recon_sec, 3)
     extra["pipeline_runs"] = [round(r, 3) for r in runs]

@@ -77,11 +77,24 @@ def _small_star(edges: DataFrame) -> DataFrame:
 
 
 def connected_components(
-    edges: DataFrame, max_iter: int = 25
+    edges: DataFrame, max_iter: int = 25, rounds_per_step: int = 2
 ) -> DataFrame:
     """edges(left_key, right_key) → (entity_key, cluster_id) for every node
     that appears in an edge. Callers attach singletons via left join +
-    coalesce(cluster_id, entity_key)."""
+    coalesce(cluster_id, entity_key).
+
+    ``rounds_per_step`` large+small star rounds are composed into ONE plan
+    per materialization (round-4 verdict item 4, serial floor): each
+    materialization is a driver-blocking job + commit barrier, so halving
+    their count halves CC's contribution to the pipeline's serial floor.
+    Correctness is unchanged — star rounds are monotone (every node's
+    link target only ever decreases), so the iteration has no cycles and
+    a repeated (count, hash) fingerprint across a composed step still
+    means exactly "fixed point reached"; the fixed point itself (the
+    min-key star forest) does not depend on step size. Worst case pays
+    ``rounds_per_step - 1`` extra star rounds AFTER convergence, inside
+    one job over an already-tiny star edge set — cheap next to the saved
+    barrier."""
     e = (
         edges.select(F.col("left_key").alias("src"), F.col("right_key").alias("dst"))
         .filter(F.col("src") != F.col("dst"))
@@ -93,7 +106,10 @@ def connected_components(
     # driver-blocking job per CC invocation
     prev = None
     for _ in range(max_iter):
-        nxt, obs = _observe_fingerprint(_small_star(_large_star(e)))
+        nxt = e
+        for _ in range(max(1, rounds_per_step)):
+            nxt = _small_star(_large_star(nxt))
+        nxt, obs = _observe_fingerprint(nxt)
         e = materialize(nxt)  # eager → obs is complete right after
         fp = (int(obs.get["n"]), int(obs.get["h"]))
         if fp == prev:

@@ -103,6 +103,18 @@ class IncrementalRecon:
             "match_threshold", match_threshold, S.DEFAULT_MATCH_THRESHOLD
         )
         self.success_threshold = _resolve("success_threshold", success_threshold, 0.5)
+        # persisted-scores policy: inherited from the bootstrap's config so
+        # batch scoring dirs keep the SAME storage contract as the bootstrap
+        # stage (operators/scoring.py cap_persisted_scores — a per-entity
+        # cap on pruned dict rows commutes with batching because an entity's
+        # dictionary pairs are scored exactly once). "pruned_dict_top_k"
+        # absent (pre-round-5 bootstrap) → persist everything, matching what
+        # that bootstrap actually wrote.
+        self.pruned_dict_top_k = (
+            persisted.get("pruned_dict_top_k")
+            if "pruned_dict_top_k" in persisted
+            else None
+        )
         self.max_block_size = max_block_size
         self.auto_compact_every = auto_compact_every
         # bounded-probe results for the dictionary broadcast gate, keyed by
@@ -402,10 +414,13 @@ class IncrementalRecon:
             touching_new.withColumn("pair_kind", F.lit("self")),
             allowMissingColumns=True,
         )
-        new_scores = S.score_pairs(
-            new_pairs,
-            self.match_threshold,
-            prune_cutoff=min(self.match_threshold, self.success_threshold),
+        new_scores = S.cap_persisted_scores(
+            S.score_pairs(
+                new_pairs,
+                self.match_threshold,
+                prune_cutoff=min(self.match_threshold, self.success_threshold),
+            ),
+            self.pruned_dict_top_k,
         )
 
         # atomic append: batch sub-dirs first (overwrite = crash-rerun safe),

@@ -66,6 +66,13 @@ class ReconConfig:
     # + distinct run as ONE stage write instead of two (a crash recomputes
     # the extraction — deterministic). Set True for the finer resume point.
     checkpoint_entities: bool = False
+    # persisted-scores policy (round-4 verdict item 5, operators/scoring.py
+    # cap_persisted_scores): pruned self rows are dropped (no consumer),
+    # pruned dict rows capped at top_k per entity (the reference's own
+    # max_results storage bound). Decisions are unaffected — every consumer
+    # filters pruned rows out anyway. Set True to persist all 34M rows
+    # (pre-round-5 behavior) for forensic debugging.
+    persist_all_pruned: bool = False
 
 
 def build_best_matches(
@@ -127,6 +134,10 @@ class ReconPipeline:
         # input to downstream broadcast gates (saves their bounded probe
         # jobs); absent on resume read-backs, where the gates probe instead
         self.stage_rows: dict[str, int] = {}
+        # true scored/pruned pair counts observed on the scoring write —
+        # the stage table persists only a capped subset (scoring()), so
+        # throughput/parity evidence must come from here, not stage rows
+        self.scoring_stats: dict[str, int | None] = {}
 
     # -- stage plumbing ------------------------------------------------------
 
@@ -154,19 +165,31 @@ class ReconPipeline:
             return W.read_stage(self.spark, path)
         t0 = time.monotonic()
         df = compute()
-        obs = None
-        if self.cfg.collect_metrics:
-            # row count OBSERVED on the stage write itself (round-3 verdict
-            # item 7: the former read-back count() added one full extra job
-            # per stage to the pipeline's serial floor)
-            obs = Observation()
-            df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+        # row count OBSERVED on the stage write itself (round-3 verdict
+        # item 7: the former read-back count() added one full extra job
+        # per stage to the pipeline's serial floor). Observed even with
+        # collect_metrics=False: the observation is free on the write, and
+        # stage_rows feeds the downstream broadcast gates — without it a
+        # collect_metrics=False run (the bench path) paid a bounded probe
+        # job per gate instead
+        obs = Observation()
+        df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
         W.write_stage(df, path, partition_by)
         self.stage_walls[stage] = round(time.monotonic() - t0, 3)
         out = W.read_stage(self.spark, path)
-        if obs is not None:
+        try:
             self.stage_rows[stage] = int(obs.get["rows"])
-            self._metric(stage, "rows", float(obs.get["rows"]))
+        except Exception:
+            # a write whose plan collapses to ZERO tasks (empty source →
+            # AQE coalesces to no partitions) never evaluates the observe
+            # node; the count fallback is exact and costs one job over an
+            # empty stage
+            self.stage_rows[stage] = out.count()
+        if self.cfg.collect_metrics:
+            # stage_rows already resolved above (observation or exact count
+            # fallback) — re-touching obs.get here would re-raise on the
+            # zero-task path
+            self._metric(stage, "rows", float(self.stage_rows[stage]))
             self._metric(stage, "wall_sec", self.stage_walls[stage])
         return out
 
@@ -255,22 +278,74 @@ class ReconPipeline:
         the pair shuffle, so scoring is a pure projection — zero joins,
         one fused-UDF Arrow crossing."""
 
+        from pyspark.sql import Observation
+
+        obs = Observation()
+
         def compute():
             # the prune cutoff must sit at or below EVERY decision bar a
             # consumer applies — match_threshold (is_match) AND the P6
             # success_threshold (best-match / job-status filters), which is
             # configurable below score_pairs' 0.5 default
-            return S.score_pairs(
+            scored = S.score_pairs(
                 pairs,
                 self.cfg.match_threshold,
                 prune_cutoff=min(self.cfg.match_threshold, self.cfg.success_threshold),
+            )
+            # true scored/pruned pair counts OBSERVED ahead of the
+            # persistence policy's filter (free on the stage write): the
+            # stage persists ~3-6% of the scored rows, so reading the
+            # throughput or the prune-parity evidence off the stage table
+            # would understate both
+            scored = scored.observe(
+                obs,
+                F.count(F.lit(1)).alias("scored_pairs"),
+                F.coalesce(
+                    F.sum(F.col("score_pruned").cast("long")), F.lit(0)
+                ).alias("pruned_pairs"),
+            )
+            return S.cap_persisted_scores(
+                scored,
+                None if self.cfg.persist_all_pruned else self.cfg.top_k,
             )
 
         # partitioned by pair_kind (round-3 verdict item 8): clusters reads
         # only pair_kind='self' and best only 'dict', so the stage's two
         # downstream scans each prune to their own partition instead of
         # reading the full 34M-row (at sf0.1; ~10^12 in production) table
-        return self._run_stage("scoring", compute, partition_by=["pair_kind"])
+        out = self._run_stage("scoring", compute, partition_by=["pair_kind"])
+        # on a resume read-back compute() never ran and the observation
+        # never fires (obs.get would block forever) — stage_walls records
+        # only stages computed THIS run
+        if "scoring" in self.stage_walls:
+            scored_n = pruned_n = None
+            # the execution-listener bus is ASYNC: the observe result can
+            # trail the write by a beat (and a zero-task write — empty pair
+            # stream — never produces one at all). Retry briefly, then fall
+            # back: an empty persisted stage means an empty pair stream
+            # scored exactly zero pairs; a non-empty stage with no
+            # observation stays None (bench/metrics skip it) rather than
+            # report a wrong number.
+            import time as _time
+
+            for attempt in range(5):
+                try:
+                    scored_n = int(obs.get["scored_pairs"])
+                    pruned_n = int(obs.get["pruned_pairs"])
+                    break
+                except Exception:
+                    _time.sleep(0.2 * (attempt + 1))
+            if scored_n is None and self.stage_rows.get("scoring") == 0:
+                scored_n = pruned_n = 0
+            self.scoring_stats = {
+                "scored_pairs": scored_n,
+                "pruned_pairs": pruned_n,
+                "persisted_rows": self.stage_rows.get("scoring"),
+            }
+            if self.cfg.collect_metrics and scored_n is not None:
+                self._metric("scoring", "scored_pairs", float(scored_n))
+                self._metric("scoring", "pruned_pairs", float(pruned_n))
+        return out
 
     def clusters(self, distinct: DataFrame, scores: DataFrame) -> DataFrame:
         def compute():
@@ -335,6 +410,12 @@ class ReconPipeline:
             "match_threshold": self.cfg.match_threshold,
             "success_threshold": self.cfg.success_threshold,
             "max_block_size": self.cfg.max_block_size,
+            # persisted-scores policy (scoring stage): incremental sessions
+            # inherit it so batch dirs and the bootstrap stage keep one
+            # uniform storage contract (null = persist everything)
+            "pruned_dict_top_k": (
+                None if self.cfg.persist_all_pruned else self.cfg.top_k
+            ),
         }
         resuming = not self.cfg.force and W.stage_exists(
             self.spark, self._path("scoring")

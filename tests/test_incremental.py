@@ -769,3 +769,50 @@ def test_incremental_best_redelivery_noop_and_compaction(spark, bundle, tmp_path
     ghost = inc.ingest_batch(b2, bundle["dictionary"], batch_id="k2")
     assert ghost["new_best"].count() == 0
     assert sorted(map(tuple, inc.best_matches().collect())) == before
+
+
+def test_persisted_scores_policy_inherited_by_ingest(spark, bundle, tmp_path):
+    """Batch scoring dirs follow the bootstrap's persisted-scores policy
+    (job_config.json pruned_dict_top_k): no pruned self rows, pruned dict
+    rows capped per entity. A pre-round-5 bootstrap config WITHOUT the key
+    persists everything — matching what that bootstrap actually wrote."""
+    import json
+
+    from metadata_reconciliation_tool_spark.plans.incremental import IncrementalRecon
+    from metadata_reconciliation_tool_spark.plans.pipeline import (
+        ReconConfig,
+        ReconPipeline,
+    )
+
+    t = bundle["transcripts"]
+    b1 = t.filter(F.crc32(F.col("conv_id")) % 2 == 0)
+    b2 = t.filter(F.crc32(F.col("conv_id")) % 2 == 1)
+
+    work = str(tmp_path / "inc")
+    ReconPipeline(
+        spark,
+        ReconConfig(job_id="j", work_dir=work, force=True, collect_metrics=False),
+    ).run(b1, bundle["dictionary"])
+    inc = IncrementalRecon(spark, work, "j")
+    assert inc.pruned_dict_top_k == 10
+    out = inc.ingest_batch(b2, bundle["dictionary"])
+    ns = out["new_scores"]
+    assert ns.filter("score_pruned and pair_kind = 'self'").count() == 0
+    over = (
+        ns.filter("score_pruned")
+        .groupBy("left_key", "pair_kind")
+        .count()
+        .filter(F.col("count") > 10)
+        .count()
+    )
+    assert over == 0
+
+    # pre-round-5 config (no pruned_dict_top_k key) → persist everything
+    cfg_path = f"{work}/j/job_config.json"
+    with open(cfg_path) as fh:
+        cfg = json.load(fh)
+    cfg.pop("pruned_dict_top_k")
+    with open(cfg_path, "w") as fh:
+        json.dump(cfg, fh)
+    legacy = IncrementalRecon(spark, work, "j")
+    assert legacy.pruned_dict_top_k is None

@@ -38,10 +38,27 @@ def test_pairwise_f1_gate(spark, bundle, pipeline_out):
 
 def test_blocking_reaches_every_labeled_pair(spark, bundle, pipeline_out):
     """Every labeled pair (positive or negative) shares a blocking key by
-    construction — the pipeline must actually generate and score it."""
+    construction — blocking must actually generate it. Checked at the
+    OPERATOR level since round 5: the persisted stage drops pruned self
+    rows (operators/scoring.py cap_persisted_scores), so low-scoring
+    labeled negatives are deliberately absent from stage_scoring; the
+    candidate-pair frame is where generation is observable. Positives
+    remain covered end-to-end by test_pairwise_f1_gate's unscored==0."""
+    from metadata_reconciliation_tool_spark.operators import blocking as B
+    from metadata_reconciliation_tool_spark.operators import extract as E
+
+    ekeyed = B.add_block_keys(
+        E.distinct_entities(E.extract_entities(bundle["transcripts"]))
+    )
+    pairs, _ = B.self_candidates(ekeyed)
     lp = spark.createDataFrame(bundle["labeled_pairs"][["left_key", "right_key"]])
-    scored = pipeline_out["self_scores"].select("left_key", "right_key")
-    missing = lp.join(scored, ["left_key", "right_key"], "left_anti").count()
+    missing = (
+        lp.join(
+            pairs.select("left_key", "right_key"),
+            ["left_key", "right_key"],
+            "left_anti",
+        ).count()
+    )
     assert missing == 0
 
 
@@ -228,3 +245,78 @@ def test_job_config_resume_guard(spark, bundle, tmp_path):
     ReconPipeline(spark, forced).run(bundle["transcripts"], bundle["dictionary"])
     with open(cfg_path) as fh:
         assert json.load(fh)["success_threshold"] == 0.42
+
+
+def test_persisted_scores_policy(spark, bundle, tmp_path, pipeline_out):
+    """Round-4 verdict item 5 (cap_persisted_scores): the default pipeline
+    persists no pruned self rows, caps pruned dict rows at top_k per
+    entity — exactly the top-k of the full set — keeps non-pruned rows
+    bit-identical, and leaves every decision (clusters, best) unchanged;
+    the observed scoring stats still report the TRUE pair counts."""
+    from pyspark.sql import Window
+
+    from metadata_reconciliation_tool_spark.plans.pipeline import (
+        ReconConfig,
+        ReconPipeline,
+    )
+
+    from metadata_reconciliation_tool_spark.sources import writers as W
+
+    cfg = ReconConfig(
+        job_id="ap", work_dir=str(tmp_path / "all"), force=True,
+        collect_metrics=False, persist_all_pruned=True,
+    )
+    pipe = ReconPipeline(spark, cfg)
+    full = pipe.run(bundle["transcripts"], bundle["dictionary"])
+    # read the capped run's stages FRESH from disk: the session-scoped
+    # fixture's cached DataFrames hold the part-file listing from fixture
+    # time, and test_resume_idempotent rewrites stage_clusters in the same
+    # work dir (stale file references → FileNotFound on collect)
+    work = pipeline_out["_work_dir"]
+    capped = {
+        name: W.read_stage(spark, f"{work}/t1/stage_{stage}")
+        for name, stage in (
+            ("scores", "scoring"),
+            ("clusters", "clusters"),
+            ("best", "best"),
+        )
+    }
+
+    fs, cs = full["scores"], capped["scores"]
+    assert cs.filter("score_pruned and pair_kind = 'self'").count() == 0
+    over = (
+        cs.filter("score_pruned")
+        .groupBy("left_key", "pair_kind")
+        .count()
+        .filter(F.col("count") > 10)
+        .count()
+    )
+    assert over == 0
+
+    cols = fs.columns
+    kept_full = sorted(map(tuple, fs.filter("not score_pruned").select(*cols).collect()))
+    kept_capped = sorted(map(tuple, cs.filter("not score_pruned").select(*cols).collect()))
+    assert kept_full == kept_capped
+
+    # capped pruned dict rows == the top-k (score desc, right_key asc) of
+    # the full run's pruned dict rows, exactly
+    w = Window.partitionBy("left_key").orderBy(F.desc("score"), F.asc("right_key"))
+    expected = (
+        fs.filter("score_pruned and pair_kind = 'dict'")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter("_rn <= 10")
+        .drop("_rn")
+        .select(*cols)
+    )
+    got = cs.filter("score_pruned").select(*cols)
+    assert sorted(map(tuple, expected.collect())) == sorted(map(tuple, got.collect()))
+
+    for name in ("clusters", "best"):
+        a = sorted(map(tuple, full[name].collect()))
+        b = sorted(map(tuple, capped[name].collect()))
+        assert a == b, f"{name} diverged under the persistence policy"
+
+    # observed stats = true counts (persist_all run: stage rows == scored)
+    assert pipe.scoring_stats["scored_pairs"] == fs.count()
+    assert pipe.scoring_stats["pruned_pairs"] == fs.filter("score_pruned").count()
+    assert pipe.scoring_stats["persisted_rows"] == pipe.scoring_stats["scored_pairs"]
