@@ -77,24 +77,25 @@ def _small_star(edges: DataFrame) -> DataFrame:
 
 
 def connected_components(
-    edges: DataFrame, max_iter: int = 25, rounds_per_step: int = 2
+    edges: DataFrame, max_iter: int = 25, rounds_per_step: int = 1
 ) -> DataFrame:
     """edges(left_key, right_key) → (entity_key, cluster_id) for every node
     that appears in an edge. Callers attach singletons via left join +
     coalesce(cluster_id, entity_key).
 
-    ``rounds_per_step`` large+small star rounds are composed into ONE plan
-    per materialization (round-4 verdict item 4, serial floor): each
-    materialization is a driver-blocking job + commit barrier, so halving
-    their count halves CC's contribution to the pipeline's serial floor.
-    Correctness is unchanged — star rounds are monotone (every node's
-    link target only ever decreases), so the iteration has no cycles and
-    a repeated (count, hash) fingerprint across a composed step still
-    means exactly "fixed point reached"; the fixed point itself (the
-    min-key star forest) does not depend on step size. Worst case pays
-    ``rounds_per_step - 1`` extra star rounds AFTER convergence, inside
-    one job over an already-tiny star edge set — cheap next to the saved
-    barrier."""
+    ``rounds_per_step`` composes that many large+small star rounds into ONE
+    plan per materialization. It defaults to 1 because composition is a
+    MEASURED DEAD END (round 5, PLANS.md #21): each star function
+    references its input 4× (union + groupBy + join), so a composed
+    round embeds the previous round's unmaterialized plan four times, and
+    neither static ReuseExchange nor AQE deduplicates them in practice —
+    measured at sf0.1 local[8], rounds_per_step=2 took the clusters stage
+    from 7.7 s to 18.7 s (2.4×) while saving only ~half the commit
+    barriers. Correctness is step-size-independent either way (star
+    rounds are monotone, so a repeated (count, hash) fingerprint across a
+    composed step still means "fixed point reached"); the parameter stays
+    for re-measurement if the star implementation ever drops to
+    single-reference inputs."""
     e = (
         edges.select(F.col("left_key").alias("src"), F.col("right_key").alias("dst"))
         .filter(F.col("src") != F.col("dst"))

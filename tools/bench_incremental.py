@@ -31,6 +31,10 @@ import shutil
 import sys
 import time
 
+# the script lives in tools/ — python puts tools/ on sys.path, not the
+# repo root the package imports need
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def main() -> None:
     out_path = sys.argv[1] if len(sys.argv) > 1 else "bench_r5_incremental.json"
