@@ -47,3 +47,32 @@ def test_connected_components_empty_and_singleton(spark):
     ents = spark.createDataFrame([("a",), ("b",)], "entity_key string")
     got = {r.entity_key: r.cluster_id for r in assign_clusters(ents, comps).collect()}
     assert got == {"a": "a", "b": "b"}  # singletons cluster as themselves
+
+
+def test_connected_components_rounds_per_step_parity(spark):
+    """rounds_per_step composes star rounds per materialization; the fixed
+    point is step-size-independent (star rounds are monotone), so any step
+    size must produce identical components. The parameter defaults to 1 —
+    composition is a measured 2.4× dead end (PLANS.md #21) — but stays in
+    the signature for re-measurement, so parity is pinned here: a chain, a
+    triangle merging into it, an isolated pair, and a star."""
+    from metadata_reconciliation_tool_spark.operators.clustering import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [
+            ("b", "a"), ("c", "b"), ("d", "c"), ("e", "d"),  # chain → a
+            ("f", "e"), ("g", "f"), ("g", "a"),              # triangle-ish merge
+            ("y", "z"),                                       # isolated pair
+            ("h", "m"), ("i", "m"), ("j", "m"),              # star → h
+        ],
+        "left_key string, right_key string",
+    )
+    base = sorted(map(tuple, connected_components(edges, rounds_per_step=1).collect()))
+    assert base, "expected non-empty components"
+    for rps in (2, 3):
+        got = sorted(
+            map(tuple, connected_components(edges, rounds_per_step=rps).collect())
+        )
+        assert got == base, f"rounds_per_step={rps} diverged"
