@@ -19,11 +19,14 @@ faithful Catalyst formulation needs token-nested higher-order functions
 (transform/filter/aggregate with per-token char intersections), and Spark
 evaluates HOF lambdas with the interpreted expression evaluator — measured
 at ~20× the cost of the Python kernels it was meant to skip (65.7 s vs
-3.5 s for 473k pairs at local[32]; see PLANS.md). The Python bound is ~7 µs
-/pair vs ~34 µs for the kernels (4.7×), and the JVM still contributes what
-it computes cheaply: the token-Levenshtein ratio, the F7 confidence, and
-the source boost are Column expressions whose values are PASSED INTO the
-UDF, so the prune decision uses exact JVM-computed components and the
+3.5 s for 473k pairs at local[32]; see PLANS.md). Since round 5 the bound
+runs through :func:`make_na_upper_bound_vectorized` — a batch-flattened
+numpy sweep measured ~2× the scalar loop on the real 34M-pair bench
+distribution (~4 µs vs ~8 µs/pair; the scalar :func:`na_upper_bound_py`
+stays as the executable spec and parity twin). The JVM still contributes
+what it computes cheaply: the token-Levenshtein ratio, the F7 confidence,
+and the source boost are Column expressions whose values are PASSED INTO
+the UDF, so the prune decision uses exact JVM-computed components and the
 kernels run only where the bound cannot refute a match.
 
 Soundness argument, mirroring ``name_align_py`` (functions/similarity.py):
@@ -106,6 +109,237 @@ def token_pair_upper_bound_py(t: str, u: str) -> float:
             break
         p += 1
     return 1.0 - (1.0 - j) * (1.0 - 0.1 * p)
+
+
+def make_na_upper_bound_vectorized():
+    """Vectorized per-batch evaluator: computes EXACTLY ``na_upper_bound_py``
+    over a whole Arrow batch of pairs at once (bit-parity fuzz-pinned in
+    tests/test_prefilter.py), replacing the per-pair scalar bound that
+    profiling put at ~8 µs/pair — ~37% of the engine's TOTAL parallel
+    cpu·s at sf0.1 (the single largest component; BENCH.md round 5).
+
+    Structure (two phases per batch):
+
+    1. a Python pass over the pairs builds the alignment STRUCTURE —
+       per-name filtered-token lists, the small/big assignment, the
+       common-token exclusion, and a flat (token, candidate) combo table —
+       through per-batch name/token memo dicts (names and tokens recur
+       across a batch's pairs by block-locality: blocking emits one pair
+       row per candidate, so each entity's name recurs across all its
+       candidates and a block's pairs land in the same shuffle partition);
+    2. numpy evaluates every combo's token bound in one vectorized sweep:
+       the Jaro match-count ceiling ``|set(t) ∩ set(u)|`` becomes a
+       popcount over 63-bit char masks (the char→bit map is built per
+       evaluator and INJECTIVE by construction — a 64th distinct character
+       routes its tokens through the exact scalar fallback, so collisions
+       can never loosen or tighten the bound), the Winkler prefix length
+       becomes four padded char-code column compares, and the per-token /
+       per-pair max-mean-min reductions run as ``ufunc.reduceat`` over the
+       pair-ordered flat table (segments are ≤ tokens-per-name, far below
+       numpy's pairwise-summation block, so float addition order matches
+       the scalar left-to-right ``sum``).
+
+    Float parity notes: every arithmetic expression keeps the scalar
+    code's operation order, all in float64 — elementwise numpy IEEE ops
+    are bit-identical to CPython's. ``t == u`` combos are unreachable
+    (every t ∈ small_nc has t ∉ set(big) while candidates come from big),
+    and a residual with duplicate tokens is deduplicated before the max —
+    a pure speed change, the max is value-identical.
+    """
+    import numpy as np
+
+    titles = _TITLES
+    char_bits: dict[str, int] = {}
+
+    # token arrays, grown append-only; index = token id
+    tok_ids: dict[str, int] = {}
+    tok_strs: list[str] = []
+    t_len: list[int] = []
+    t_dlen: list[int] = []  # len(set(t))
+    t_mask: list[int] = []
+    t_ovf: list[bool] = []  # True → token has a char beyond the 63-bit map
+    t_c4: list[tuple[int, int, int, int]] = []  # first 4 char codes, pad -1
+    name_info: dict[str, tuple] = {}
+
+    def tok_id(t: str) -> int:
+        tid = tok_ids.get(t)
+        if tid is None:
+            tid = len(tok_strs)
+            tok_ids[t] = tid
+            tok_strs.append(t)
+            st = set(t)
+            mask = 0
+            ovf = False
+            for c in st:
+                bit = char_bits.get(c)
+                if bit is None:
+                    bit = len(char_bits)
+                    char_bits[c] = bit
+                if bit >= 63:
+                    ovf = True
+                else:
+                    mask |= 1 << bit
+            t_len.append(len(t))
+            t_dlen.append(len(st))
+            t_mask.append(mask)
+            t_ovf.append(ovf)
+            cs = [ord(c) for c in t[:4]]
+            t_c4.append(tuple(cs + [-1] * (4 - len(cs))))
+        return tid
+
+    def prep_name(name: str) -> tuple:
+        info = name_info.get(name)
+        if info is None:
+            tids = [tok_id(t) for t in name.split() if t not in titles]
+            tset = set(tids)
+            info = (tids, tset, tuple(dict.fromkeys(tids)))
+            name_info[name] = info
+        return info
+
+    def evaluate(names1: list, names2: list) -> "np.ndarray":
+        n = len(names1)
+        out = np.empty(n, dtype=np.float64)
+        # flat combo table + segment offsets
+        combo_t: list[int] = []  # token id of the small_nc token
+        combo_u: list[int] = []  # token id of the residual candidate
+        tok_seg: list[int] = []  # combo-start offset per small_nc token
+        pair_idx: list[int] = []  # row index of each structured pair
+        pair_ns: list[int] = []
+        pair_nc: list[int] = []  # len(small_nc)
+        pair_extra: list[int] = []
+        for i in range(n):
+            ta, sa, da = prep_name(names1[i] or "")
+            tb, sb, db = prep_name(names2[i] or "")
+            if not ta or not tb:
+                out[i] = 0.0
+                continue
+            if len(ta) <= len(tb):
+                s_small, d_small, big, s_big, d_big = sa, da, tb, sb, db
+                ns, nb = len(ta), len(tb)
+            else:
+                s_small, d_small, big, s_big, d_big = sb, db, ta, sa, da
+                ns, nb = len(tb), len(ta)
+            small_nc = [t for t in d_small if t not in s_big]
+            extra = nb - ns
+            if not small_nc:
+                # mean_ub = weakest = 1.0 → factor = 1.0 exactly
+                out[i] = 1.0 * max(0.0, 1.0 - 0.1 * extra)
+                continue
+            if len(s_big) == len(big):
+                # no duplicates in big → common values are provably
+                # consumed by exact pairs; u ∈ big is common iff its value
+                # appears in small
+                residual = [u for u in d_big if u not in s_small]
+            else:
+                residual = list(d_big)
+            pair_idx.append(i)
+            pair_ns.append(ns)
+            pair_nc.append(len(small_nc))
+            pair_extra.append(extra)
+            for t in small_nc:
+                tok_seg.append(len(combo_t))
+                combo_t.extend([t] * len(residual))
+                combo_u.extend(residual)
+        if not pair_idx:
+            return out
+
+        ct = np.asarray(combo_t, dtype=np.int64)
+        cu = np.asarray(combo_u, dtype=np.int64)
+        lt = np.asarray(t_len, dtype=np.int64)
+        dl = np.asarray(t_dlen, dtype=np.int64)
+        mk = np.asarray(t_mask, dtype=np.uint64)
+        c4 = np.asarray(t_c4, dtype=np.int64)
+        lt_t, lt_u = lt[ct], lt[cu]
+        # --- inline token_pair_upper_bound_py, vectorized -----------------
+        inter_bits = mk[ct] & mk[cu]
+        inter = _popcount64(inter_bits)
+        m_ub = inter + np.minimum(lt_t - dl[ct], lt_u - dl[cu])
+        j = np.minimum(
+            (m_ub / lt_t + m_ub / lt_u + 1.0) / 3.0,
+            1.0
+            - np.maximum(np.abs(lt_t - lt_u), 1) / (3.0 * np.maximum(lt_t, lt_u)),
+        )
+        c4t, c4u = c4[ct], c4[cu]
+        eq = c4t == c4u
+        # common prefix = leading run of equal real chars; pads are -1 on
+        # both sides, but a pad-pad "match" can only start at position
+        # min(lt, lu) — the clamp below removes it exactly
+        p = np.minimum(
+            np.minimum(np.cumprod(eq, axis=1).sum(axis=1), 4),
+            np.minimum(lt_t, lt_u),
+        )
+        w = 1.0 - (1.0 - j) * (1.0 - 0.1 * p)
+        s = np.where(j <= 0.7, j, w)
+        s = np.where(inter == 0, 0.0, s)
+        single = (lt_t == 1) | (lt_u == 1)
+        if single.any():
+            first_eq = c4t[:, 0] == c4u[:, 0]
+            s = np.where(single, np.where(first_eq, 0.95, 0.0), s)
+        ovf = np.asarray(t_ovf, dtype=bool)
+        bad = ovf[ct] | ovf[cu]
+        if bad.any():
+            # exact scalar fallback for tokens whose chars overflowed the
+            # 63-bit map — popcount would otherwise UNDERcount the char
+            # intersection (unsound)
+            for k in np.flatnonzero(bad):
+                s[k] = token_pair_upper_bound_py(tok_strs[ct[k]], tok_strs[cu[k]])
+        # --- per-token max over residual, then per-pair mean/weakest ------
+        tok_off = np.asarray(tok_seg, dtype=np.int64)
+        ubs = np.maximum.reduceat(s, tok_off)  # max: order-independent
+        # per-pair sum/min in a scalar loop: np.add.reduceat's partial-sum
+        # order differs from Python's left-to-right sum() even on 3-element
+        # segments (measured: last-ULP drift on ~1% of pairs) and pruned
+        # rows emit the bound verbatim — exact addition order is part of
+        # the parity contract. Segments average ~1 token, the loop is
+        # noise next to the combo sweep above.
+        npair = len(pair_idx)
+        sum_ubs = np.empty(npair, dtype=np.float64)
+        weakest = np.empty(npair, dtype=np.float64)
+        ub_list = ubs.tolist()
+        pos = 0
+        for k in range(npair):
+            cnt = pair_nc[k]
+            acc = 0.0
+            w = ub_list[pos]
+            for j in range(pos, pos + cnt):
+                v = ub_list[j]
+                acc += v
+                if v < w:
+                    w = v
+            sum_ubs[k] = acc
+            weakest[k] = w
+            pos += cnt
+        ns_v = np.asarray(pair_ns, dtype=np.int64)
+        nc_v = np.asarray(pair_nc, dtype=np.int64)
+        mean_ub = ((ns_v - nc_v) + sum_ubs) / ns_v
+        factor = np.where(
+            weakest >= 0.9, 0.5 + 0.5 * weakest, 0.9 * weakest * weakest
+        )
+        extra_v = np.asarray(pair_extra, dtype=np.int64)
+        out[np.asarray(pair_idx, dtype=np.int64)] = (
+            mean_ub * factor * np.maximum(0.0, 1.0 - 0.1 * extra_v)
+        )
+        return out
+
+    return evaluate
+
+
+def _popcount64(x):
+    """Vectorized 64-bit popcount (numpy<2 has no bitwise_count)."""
+    import numpy as np
+
+    if hasattr(np, "bitwise_count"):
+        return np.bitwise_count(x).astype(np.int64)
+    b = x.view(np.uint8).reshape(len(x), 8)
+    return _POP8[b].sum(axis=1, dtype=np.int64)
+
+
+try:  # byte-popcount table, built once at import
+    import numpy as _np
+
+    _POP8 = _np.array([bin(i).count("1") for i in range(256)], dtype=_np.int64)
+except Exception:  # pragma: no cover - numpy is a hard dependency of pyspark
+    _POP8 = None
 
 
 def na_upper_bound_py(a: str, b: str) -> float:

@@ -477,7 +477,7 @@ def make_scoring_batteries_udf(cutoff: float):
 
     ``cutoff`` is baked into the UDF closure (a factory, not a column): at
     34M pairs a lit column is 274 MB of constant doubles through Arrow."""
-    from .prefilter import na_upper_bound_py
+    from .prefilter import make_na_upper_bound_vectorized
 
     # cutoff <= 0 (prefilter disabled) can never prune: skip the bound
     # entirely so the disabled mode is genuinely the plain kernel path
@@ -497,22 +497,33 @@ def make_scoring_batteries_udf(cutoff: float):
         al = [1.0] * n
         ub: list[float | None] = [None] * n
         pruned = [False] * n
-        for i in range(n):
-            a, b = names1[i], names2[i]
-            if a == b:
-                if a and any(t not in _TITLES for t in a.split()):
-                    continue  # identical, non-title token: exact (1.0, 1.0)
-                # a == b never prunes: the JVM composite's exact-equality
-                # branch scores such pairs 1.0 regardless of the kernels
-            elif can_prune:
-                bound = na_upper_bound_py(a, b)
-                blend = 0.55 * bound + 0.25 * float(tlr_v[i]) + 0.2 * float(wc_v[i])
-                if min(blend + float(boost_v[i]), 1.0) < cutoff:
+        if can_prune and n:
+            # the whole batch's bounds in one vectorized sweep (prefilter.py
+            # — bit-identical to na_upper_bound_py, parity-fuzzed; its memo
+            # dicts die with the batch, so worker memory stays fixed).
+            # a == b rows are excluded exactly as before: the JVM
+            # composite's exact-equality branch scores them 1.0 regardless
+            # of the kernels, so they must never prune.
+            need = [i for i in range(n) if names1[i] != names2[i]]
+            if need:
+                bounds = make_na_upper_bound_vectorized()(
+                    [names1[i] for i in need], [names2[i] for i in need]
+                )
+                idx = np.asarray(need, dtype=np.int64)
+                # same IEEE op order as the JVM composite expression
+                blend = 0.55 * bounds + 0.25 * tlr_v[idx] + 0.2 * wc_v[idx]
+                prn = np.minimum(blend + boost_v[idx], 1.0) < cutoff
+                for i, bd in zip(idx[prn].tolist(), bounds[prn].tolist()):
                     jw[i] = None  # type: ignore[call-overload]
                     al[i] = None  # type: ignore[call-overload]
-                    ub[i] = bound
+                    ub[i] = bd
                     pruned[i] = True
-                    continue
+        for i in range(n):
+            if pruned[i]:
+                continue
+            a, b = names1[i], names2[i]
+            if a == b and a and any(t not in _TITLES for t in a.split()):
+                continue  # identical, non-title token: exact (1.0, 1.0)
             jw[i] = jaro_winkler_py(a or "", b or "")
             al[i] = name_align_py(a, b)
         return pd.DataFrame(

@@ -77,6 +77,42 @@ def test_name_align_upper_bound_sound():
     assert violations == [], f"bound below kernel for: {violations[:5]}"
 
 
+def test_vectorized_bound_bit_identical_to_spec():
+    """make_na_upper_bound_vectorized (the batch-flattened numpy evaluator
+    the fused UDF runs since round 5) must return EXACTLY na_upper_bound_py
+    for every pair — including names whose alphabet overflows the 63-bit
+    char mask (the scalar-fallback path) and duplicate/initial/title
+    cases. Same exact-equality bar as the scalar-batch test above."""
+    import random
+
+    from metadata_reconciliation_tool_spark.functions.prefilter import (
+        make_na_upper_bound_vectorized,
+        na_upper_bound_py,
+    )
+
+    pairs = _random_name_pairs(20_000, seed=13)
+    # wide-alphabet adversaries: >63 distinct chars forces the overflow
+    # fallback; mixed with ascii so both paths run inside one batch
+    rng = random.Random(99)
+    wide = [chr(0x100 + i) for i in range(80)] + list("abcdefghij")
+
+    def wname() -> str:
+        return " ".join(
+            "".join(rng.choice(wide) for _ in range(rng.randint(1, 6)))
+            for _ in range(rng.randint(1, 3))
+        )
+
+    pairs += [(wname(), wname()) for _ in range(3_000)]
+    ev = make_na_upper_bound_vectorized()
+    got = ev([a for a, _ in pairs], [b for _, b in pairs])
+    mism = [
+        (a, b, na_upper_bound_py(a, b), got[k])
+        for k, (a, b) in enumerate(pairs)
+        if na_upper_bound_py(a, b) != got[k]
+    ]
+    assert mism == [], f"vectorized evaluator diverged: {mism[:5]}"
+
+
 def test_name_align_upper_bound_sound_long_tokens():
     """ADVICE r3 (high): the old `best > 0.99` early break in
     na_upper_bound_py stopped the per-token max before a later residual
