@@ -69,10 +69,77 @@ def test_connected_components_rounds_per_step_parity(spark):
         ],
         "left_key string, right_key string",
     )
-    base = sorted(map(tuple, connected_components(edges, rounds_per_step=1).collect()))
+    base = sorted(
+        map(
+            tuple,
+            connected_components(
+                edges, rounds_per_step=1, local_finish_max_edges=0
+            ).collect(),
+        )
+    )
     assert base, "expected non-empty components"
     for rps in (2, 3):
         got = sorted(
-            map(tuple, connected_components(edges, rounds_per_step=rps).collect())
+            map(
+                tuple,
+                connected_components(
+                    edges, rounds_per_step=rps, local_finish_max_edges=0
+                ).collect(),
+            )
         )
         assert got == base, f"rounds_per_step={rps} diverged"
+
+
+def test_connected_components_local_finish_parity(spark):
+    """The size-gated driver union-find (round 5) must be value-identical
+    to the pure-distributed star rounds on every path: entry-gate trigger
+    (edges ≤ gate up front), IN-LOOP trigger (graph contracts below the
+    gate after a distributed round), and disabled (gate=0). Random
+    multi-component graphs with long chains exercise deep contraction."""
+    import random
+
+    from metadata_reconciliation_tool_spark.operators.clustering import (
+        connected_components,
+    )
+
+    rng = random.Random(17)
+    rows = []
+    n_nodes = 0
+    # 30 DENSE components (≈3 edges per node): the first star round
+    # contracts a dense graph to ≈ one edge per non-root node, so a gate
+    # between the two sizes provably exercises the in-loop trigger below
+    for c in range(30):
+        nodes = [f"n{c:02d}_{i:02d}" for i in range(rng.randint(3, 12))]
+        n_nodes += len(nodes)
+        for i in range(1, len(nodes)):
+            rows.append((nodes[i], nodes[rng.randrange(0, i)]))
+        for _ in range(2 * len(nodes)):
+            a, b = rng.choice(nodes), rng.choice(nodes)
+            if a != b:
+                rows.append((a, b) if rng.random() < 0.5 else (b, a))
+    rng.shuffle(rows)
+    rows += rows[:10]  # duplicates
+    edges = spark.createDataFrame(rows, "left_key string, right_key string")
+    distributed = sorted(
+        map(tuple, connected_components(edges, local_finish_max_edges=0).collect())
+    )
+    assert distributed, "expected non-empty components"
+    entry_gated = sorted(
+        map(
+            tuple,
+            connected_components(edges, local_finish_max_edges=10_000).collect(),
+        )
+    )
+    assert entry_gated == distributed
+    # in-loop trigger: gate below the distinct input size (entry probe
+    # fails → at least one distributed round runs) but above the node
+    # count (a contracted round's edge set is ≤ nodes − components)
+    n_input = edges.select("left_key", "right_key").distinct().count()
+    assert n_input > n_nodes, "fixture must start denser than its node count"
+    in_loop = sorted(
+        map(
+            tuple,
+            connected_components(edges, local_finish_max_edges=n_nodes).collect(),
+        )
+    )
+    assert in_loop == distributed
