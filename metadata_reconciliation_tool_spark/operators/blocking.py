@@ -39,6 +39,11 @@ PREFIX_LEN = 6
 # dictionary rows (pre-explosion) at or below which the exploded key frame
 # is broadcast instead of shuffle-joined — see dictionary_candidates
 DICT_BROADCAST_MAX_ROWS = 2_000_000
+# entity-frame size at or below which the broadcast dictionary join
+# hash-repartitions its key frame for even pair-task sizes (see
+# dictionary_candidates) — a frame this small shuffles in noise time,
+# and only small-but-pair-dense tables exhibit the straggler shape
+REPARTITION_MAX_ENTITY_ROWS = 50_000_000
 # pass keys emitted per entity row: 1 prefix + 1 metaphone + LSH_BANDS lsh
 # bands — the sound upper bound on distinct block keys used by the
 # salt-map broadcast gates below (round-4 verdict item 1: the former
@@ -149,6 +154,7 @@ def dictionary_candidates(
     broadcast: bool | None = None,
     shuffle_salts: int = 16,
     dictionary_rows: int | None = None,
+    entity_rows: int | None = None,
 ) -> DataFrame:
     """Entity ↔ authority-dictionary candidate pairs (J3).
 
@@ -231,6 +237,28 @@ def dictionary_candidates(
                 <= broadcast_max_rows
             )
     if broadcast:
+        # BALANCE the broadcast join's input (round 5, measured): with no
+        # shuffle on this path, the pair stream inherits the entity scan's
+        # partitioning — and a small-but-pair-dense entity table (a few
+        # coalesced stage files) hands one task ~2.5× the mean pair
+        # count, a straggler tail the scoring UDF stage serializes on
+        # (measured: 11 tasks, max/mean 1.89 at sf0.1 local[8]). An
+        # explicit-count hash repartition of the KEY frame (O(keys),
+        # never O(pairs); the explicit count keeps AQE from re-coalescing
+        # it) restores even task sizes. Gated on the ENTITY ROW COUNT —
+        # static partition-count probes lie under AQE runtime coalescing
+        # (measured) — because the failure mode is exactly the small-
+        # table-dense-pairs shape: at or below the gate the extra shuffle
+        # is trivially cheap; above it, byte-based file splits are
+        # already even and the entity side keeps its never-shuffled
+        # contract. ``entity_rows`` comes from the caller's observed
+        # stage count when known, else a bounded probe.
+        if entity_rows is None:
+            gate = REPARTITION_MAX_ENTITY_ROWS
+            entity_rows = entities_keyed.limit(gate + 1).count()
+        if entity_rows <= REPARTITION_MAX_ENTITY_ROWS:
+            nparts = int(e.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+            e = e.repartition(nparts, "left_key")
         joined = e.join(F.broadcast(d), ["block_pass", "block_key"]).select(*out_cols)
     else:
         salted_e = e.withColumn(

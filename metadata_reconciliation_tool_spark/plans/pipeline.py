@@ -245,7 +245,12 @@ class ReconPipeline:
 
         def compute():
             dict_pairs = B.dictionary_candidates(
-                ekeyed, dkeyed, broadcast=self._dict_small(dictionary)
+                ekeyed,
+                dkeyed,
+                broadcast=self._dict_small(dictionary),
+                # observed on the distinct stage write — feeds the
+                # broadcast path's pair-task balance gate without a probe
+                entity_rows=self.stage_rows.get("entities_distinct"),
             ).withColumn("pair_kind", F.lit("dict"))
             self_pairs, dropped = B.self_candidates(
                 ekeyed,
