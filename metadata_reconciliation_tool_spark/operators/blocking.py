@@ -251,12 +251,14 @@ def dictionary_candidates(
         # table-dense-pairs shape: at or below the gate the extra shuffle
         # is trivially cheap; above it, byte-based file splits are
         # already even and the entity side keeps its never-shuffled
-        # contract. ``entity_rows`` comes from the caller's observed
-        # stage count when known, else a bounded probe.
-        if entity_rows is None:
-            gate = REPARTITION_MAX_ENTITY_ROWS
-            entity_rows = entities_keyed.limit(gate + 1).count()
-        if entity_rows <= REPARTITION_MAX_ENTITY_ROWS:
+        # contract. ``entity_rows`` is the caller's observed stage count
+        # (ReconPipeline passes the count it already observes on the
+        # distinct stage write); when the size is UNKNOWN the balance is
+        # skipped outright — never add a possibly-10⁹-row shuffle, or a
+        # probe job that re-evaluates a lazy batch plan, on a guess. The
+        # per-batch incremental path skips it by design: batch pair
+        # streams are seconds of work, below straggler-tail relevance.
+        if entity_rows is not None and entity_rows <= REPARTITION_MAX_ENTITY_ROWS:
             nparts = int(e.sparkSession.conf.get("spark.sql.shuffle.partitions"))
             e = e.repartition(nparts, "left_key")
         joined = e.join(F.broadcast(d), ["block_pass", "block_key"]).select(*out_cols)
