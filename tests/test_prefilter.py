@@ -113,6 +113,28 @@ def test_vectorized_bound_bit_identical_to_spec():
     assert mism == [], f"vectorized evaluator diverged: {mism[:5]}"
 
 
+def test_popcount_table_fallback_matches_bitwise_count():
+    """_popcount64 uses np.bitwise_count when available (numpy>=2) and a
+    byte-table fallback otherwise; the fallback branch never runs in this
+    container, so its equivalence is pinned directly against a pure-Python
+    popcount over adversarial masks (all-ones, sign bit, random)."""
+    import random
+
+    import numpy as np
+
+    from metadata_reconciliation_tool_spark.functions.prefilter import _POP8
+
+    rng = random.Random(5)
+    vals = [0, 1, (1 << 63), (1 << 64) - 1, 0x5555555555555555]
+    vals += [rng.getrandbits(64) for _ in range(2000)]
+    x = np.array(vals, dtype=np.uint64)
+    table = _POP8[x.view(np.uint8).reshape(len(x), 8)].sum(axis=1, dtype=np.int64)
+    expect = [bin(v).count("1") for v in vals]
+    assert table.tolist() == expect
+    if hasattr(np, "bitwise_count"):
+        assert np.bitwise_count(x).astype(np.int64).tolist() == expect
+
+
 def test_name_align_upper_bound_sound_long_tokens():
     """ADVICE r3 (high): the old `best > 0.99` early break in
     na_upper_bound_py stopped the per-token max before a later residual
