@@ -46,22 +46,44 @@ def run_bench(cpus: int, sf_dir: str) -> dict:
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
-def best_of(cpus: int, sf_dir: str, repeats: int) -> tuple[dict, dict]:
-    """Returns (best run, disclosure of every repeat's wall + start load)."""
-    runs = [run_bench(cpus, sf_dir) for _ in range(repeats)]
-    disclosure = {
+def _disclose(runs: list[dict]) -> dict:
+    return {
         "walls": [r["queries"]["recon_pipeline"] for r in runs],
         "load_avg": [la for r in runs for la in r.get("load_avg_per_run", [])],
     }
-    return min(runs, key=lambda r: r["queries"]["recon_pipeline"]), disclosure
+
+
+def best_of_interleaved(
+    n: int, sf_dir: str, repeats: int
+) -> tuple[dict, dict, dict, dict, list[float]]:
+    """Alternate local[N] and local[4N] runs (round 5 protocol fix): the
+    former all-N-then-all-4N order let the shared host's window drift land
+    entirely on one level — two same-day executions of the identical
+    engine measured efficiency 0.90 and 0.75 purely from which phase
+    caught the slow window. Interleaving makes both levels sample the
+    same span; the per-PAIR efficiencies are disclosed alongside the
+    best-of aggregate so a drifting window is visible as pair spread."""
+    lo_runs, hi_runs, pair_eff = [], [], []
+    for _ in range(repeats):
+        lo = run_bench(n, sf_dir)
+        hi = run_bench(4 * n, sf_dir)
+        lo_runs.append(lo)
+        hi_runs.append(hi)
+        pair_eff.append(
+            round(
+                hi["scored_pairs_per_sec"] / (4 * lo["scored_pairs_per_sec"]), 3
+            )
+        )
+    best_lo = min(lo_runs, key=lambda r: r["queries"]["recon_pipeline"])
+    best_hi = min(hi_runs, key=lambda r: r["queries"]["recon_pipeline"])
+    return best_lo, best_hi, _disclose(lo_runs), _disclose(hi_runs), pair_eff
 
 
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     repeats = int(sys.argv[3]) if len(sys.argv) > 3 else 2
-    lo, lo_runs = best_of(n, sf_dir, repeats)
-    hi, hi_runs = best_of(4 * n, sf_dir, repeats)
+    lo, hi, lo_runs, hi_runs, pair_eff = best_of_interleaved(n, sf_dir, repeats)
     t_lo = lo["queries"]["recon_pipeline"]
     t_hi = hi["queries"]["recon_pipeline"]
     tput_lo = lo["scored_pairs_per_sec"]
@@ -85,6 +107,7 @@ def main() -> None:
         "amdahl_parallel_cpu_sec": round(par, 1),
         "runs_n": lo_runs,
         "runs_4n": hi_runs,
+        "per_pair_efficiency": pair_eff,
     }
     print(json.dumps(summary))
     pairs = lo["scored_pairs"]
@@ -120,7 +143,8 @@ walls {hi_runs['walls']} s at start load {hi_runs['load_avg']}.
 | local[{4*n}] | {t_hi} | {tput_hi:,} |
 
 **Throughput scaling efficiency (N → 4N): {summary['scaling_efficiency']}**
-(= throughput_4N / (4 × throughput_N))
+(= throughput_4N / (4 × throughput_N); levels run INTERLEAVED so window
+drift hits both — per-pair efficiencies {summary['per_pair_efficiency']})
 
 ### Why the single-box number understates cluster scaling
 
