@@ -28,9 +28,31 @@ from pyspark.sql import functions as F
 
 SF0001 = "/root/testdata/sf0.001"
 
+# Inputs whose total bytes fit inside ONE scan split arrive as a single
+# task (a one-row-group parquet file is unsplittable below row-group
+# granularity), serializing every per-row projection behind one core —
+# the "one huge unsplittable file" input-skew case of the optimization
+# playbook. Reads below this size are fanned out across the session's
+# default parallelism; larger inputs already split at the scan and are
+# left untouched, so the rule is scale-adaptive (a production-size table
+# never pays the extra shuffle). Parameterized for non-local deployments.
+_SPREAD_INPUT_MAX_BYTES = int(
+    __import__("os").environ.get("SPARK_GRAFT_SPREAD_INPUT_MAX_BYTES", str(64 << 20))
+)
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+def _t(spark: SparkSession, sf_dir: str, name: str, spread: bool = True) -> DataFrame:
+    import os
+
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
+    try:
+        small = spread and os.path.getsize(path) < _SPREAD_INPUT_MAX_BYTES
+    except OSError:
+        small = False
+    if small:
+        df = df.repartition(spark.sparkContext.defaultParallelism)
+    return df
 
 
 # ---------------------------------------------------------------------------
@@ -401,9 +423,14 @@ def _w2(spark, sf):
     """,
 )
 def _w4(spark, sf):
-    """W4 stable pagination (database.py:404-412)."""
+    """W4 stable pagination (database.py:404-412).
+
+    ``spread=False``: (l_orderkey, l_linenumber) is NOT unique in the test
+    data, so this sort is non-total and the page content at a tie depends
+    on scan order — the oracle twin relies on the stable single-file read
+    order both engines share. Never fan out this input."""
     return (
-        _t(spark, sf, "lineitem")
+        _t(spark, sf, "lineitem", spread=False)
         .orderBy("l_orderkey", "l_linenumber")
         .offset(100)
         .limit(50)

@@ -231,7 +231,7 @@ def make_na_upper_bound_vectorized():
                 # appears in small
                 residual = [u for u in d_big if u not in s_small]
             else:
-                residual = list(d_big)
+                residual = d_big  # tuple reused as-is — no per-pair copy
             pair_idx.append(i)
             pair_ns.append(ns)
             pair_nc.append(len(small_nc))
@@ -263,11 +263,15 @@ def make_na_upper_bound_vectorized():
         eq = c4t == c4u
         # common prefix = leading run of equal real chars; pads are -1 on
         # both sides, but a pad-pad "match" can only start at position
-        # min(lt, lu) — the clamp below removes it exactly
-        p = np.minimum(
-            np.minimum(np.cumprod(eq, axis=1).sum(axis=1), 4),
-            np.minimum(lt_t, lt_u),
-        )
+        # min(lt, lu) — the clamp below removes it exactly. The leading-run
+        # length is a boolean AND-chain (round 6: ~2× cheaper than the
+        # former int64 cumprod over the combo table, same values).
+        run = eq[:, 0].copy()
+        prefix_len = run.astype(np.int64)
+        for col in range(1, 4):
+            run &= eq[:, col]
+            prefix_len += run
+        p = np.minimum(np.minimum(prefix_len, 4), np.minimum(lt_t, lt_u))
         w = 1.0 - (1.0 - j) * (1.0 - 0.1 * p)
         s = np.where(j <= 0.7, j, w)
         s = np.where(inter == 0, 0.0, s)
@@ -321,7 +325,36 @@ def make_na_upper_bound_vectorized():
         )
         return out
 
+    evaluate.n_names = lambda: len(name_info)
     return evaluate
+
+
+# Worker-cached evaluator (round 6, measured): the scoring UDF used to
+# build a FRESH evaluator per Arrow batch, re-tokenizing every name from
+# scratch — but names recur across batches too (an entity's name appears
+# once per candidate pair, and a reused Python worker processes many
+# batches). Caching the evaluator per worker process carries the
+# name/token memos across batches; values are unchanged (the memo is a
+# pure cache of per-name structure). The memo is reset when it exceeds
+# ``_EVAL_MAX_NAMES`` distinct names, keeping worker memory bounded — the
+# same bounded-cache policy as similarity.jaro_winkler_py's LRU.
+_EVAL = None
+_EVAL_PID: int | None = None
+_EVAL_MAX_NAMES = 2_000_000
+
+
+def get_na_upper_bound_evaluator():
+    """The per-worker cached :func:`make_na_upper_bound_vectorized`
+    instance (PID-guarded: a forked worker never inherits a parent's memo
+    mid-structure)."""
+    global _EVAL, _EVAL_PID
+    import os
+
+    pid = os.getpid()
+    if _EVAL is None or _EVAL_PID != pid or _EVAL.n_names() > _EVAL_MAX_NAMES:
+        _EVAL = make_na_upper_bound_vectorized()
+        _EVAL_PID = pid
+    return _EVAL
 
 
 def _popcount64(x):
@@ -331,13 +364,15 @@ def _popcount64(x):
     if hasattr(np, "bitwise_count"):
         return np.bitwise_count(x).astype(np.int64)
     b = x.view(np.uint8).reshape(len(x), 8)
+    # uint8 lookup table (round 6): the gather touches 8× fewer bytes than
+    # the former int64 table; the int64 accumulator keeps values identical
     return _POP8[b].sum(axis=1, dtype=np.int64)
 
 
 try:  # byte-popcount table, built once at import
     import numpy as _np
 
-    _POP8 = _np.array([bin(i).count("1") for i in range(256)], dtype=_np.int64)
+    _POP8 = _np.array([bin(i).count("1") for i in range(256)], dtype=_np.uint8)
 except Exception:  # pragma: no cover - numpy is a hard dependency of pyspark
     _POP8 = None
 

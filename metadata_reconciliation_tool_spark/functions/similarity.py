@@ -477,7 +477,7 @@ def make_scoring_batteries_udf(cutoff: float):
 
     ``cutoff`` is baked into the UDF closure (a factory, not a column): at
     34M pairs a lit column is 274 MB of constant doubles through Arrow."""
-    from .prefilter import make_na_upper_bound_vectorized
+    from .prefilter import get_na_upper_bound_evaluator
 
     # cutoff <= 0 (prefilter disabled) can never prune: skip the bound
     # entirely so the disabled mode is genuinely the plain kernel path
@@ -493,34 +493,38 @@ def make_scoring_batteries_udf(cutoff: float):
         tlr_v = tlr.to_numpy(dtype="float64", na_value=float("nan"))
         wc_v = wc.to_numpy(dtype="float64", na_value=float("nan"))
         boost_v = boost.to_numpy(dtype="float64", na_value=0.0)
-        jw = [1.0] * n
-        al = [1.0] * n
-        ub: list[float | None] = [None] * n
-        pruned = [False] * n
+        # float64/bool numpy outputs with NaN-as-null (round 6): the former
+        # object lists holding None made the return-path Arrow conversion
+        # walk 34M python objects per column; pandas→Arrow maps float NaN
+        # to null, and no kernel/bound value is ever a genuine NaN, so the
+        # emitted rows are identical
+        jw = np.ones(n, dtype=np.float64)
+        al = np.ones(n, dtype=np.float64)
+        ub = np.full(n, np.nan, dtype=np.float64)
+        pruned = np.zeros(n, dtype=bool)
         if can_prune and n:
             # the whole batch's bounds in one vectorized sweep (prefilter.py
-            # — bit-identical to na_upper_bound_py, parity-fuzzed; its memo
-            # dicts die with the batch, so worker memory stays fixed).
+            # — bit-identical to na_upper_bound_py, parity-fuzzed; the
+            # worker-cached evaluator reuses name/token memos across
+            # batches, reset at a bounded size).
             # a == b rows are excluded exactly as before: the JVM
             # composite's exact-equality branch scores them 1.0 regardless
             # of the kernels, so they must never prune.
             need = [i for i in range(n) if names1[i] != names2[i]]
             if need:
-                bounds = make_na_upper_bound_vectorized()(
+                bounds = get_na_upper_bound_evaluator()(
                     [names1[i] for i in need], [names2[i] for i in need]
                 )
                 idx = np.asarray(need, dtype=np.int64)
                 # same IEEE op order as the JVM composite expression
                 blend = 0.55 * bounds + 0.25 * tlr_v[idx] + 0.2 * wc_v[idx]
                 prn = np.minimum(blend + boost_v[idx], 1.0) < cutoff
-                for i, bd in zip(idx[prn].tolist(), bounds[prn].tolist()):
-                    jw[i] = None  # type: ignore[call-overload]
-                    al[i] = None  # type: ignore[call-overload]
-                    ub[i] = bd
-                    pruned[i] = True
-        for i in range(n):
-            if pruned[i]:
-                continue
+                hit = idx[prn]
+                jw[hit] = np.nan
+                al[hit] = np.nan
+                ub[hit] = bounds[prn]
+                pruned[hit] = True
+        for i in np.flatnonzero(~pruned).tolist():
             a, b = names1[i], names2[i]
             if a == b and a and any(t not in _TITLES for t in a.split()):
                 continue  # identical, non-title token: exact (1.0, 1.0)

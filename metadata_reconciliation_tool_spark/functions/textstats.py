@@ -44,20 +44,61 @@ def token_count_bpe(text: Column) -> Column:
     return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), 0))
 
 
+# every char the punctuation class [^A-Za-z0-9\s] does NOT match, for the
+# translate-based counter below (\s is ASCII-only in Java regex)
+_ALNUM_WS = (
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789 \t\n\x0b\f\r"
+)
+
+
 def punct_ratio(text: Column) -> Column:
-    """Punctuation chars / total chars."""
-    stripped = F.regexp_replace(text, PUNCT_CLASS, "")
+    """Punctuation chars / total chars.
+
+    Counted as ``length(translate(text, alnum+ws, ''))`` — translate
+    deletes every non-punctuation char, so the surviving length is the
+    punctuation count, equal to the former
+    ``length - length(regexp_replace(text, '[^A-Za-z0-9\\s]', ''))``
+    integer for all BMP text (astral punctuation would differ; the
+    document corpus contract here is BMP). Measured (round 6, local[8] on
+    50k docs): ANY Java-regex op over the negated range class
+    ``[^A-Za-z0-9\\s]`` cost 2.6 s and gained nothing from added cores,
+    while translate runs 0.36 s and scales — the regex engine's negated
+    union class takes a pathological non-bitmap path on every position."""
+    hits = F.length(F.translate(text, _ALNUM_WS, ""))
     return F.when(
         F.length(text) > 0,
-        (F.length(text) - F.length(stripped)).cast("double") / F.length(text),
+        hits.cast("double") / F.length(text),
     ).otherwise(F.lit(0.0))
 
 
 def stopword_ratio(text: Column, stopwords: list[str] | None = None) -> Column:
-    """Stopword tokens / total tokens (lowercased whitespace tokens)."""
+    """Stopword tokens / total tokens (lowercased whitespace tokens).
+
+    The straightforward ``F.filter(toks, t.isin(...))`` is a lambda
+    higher-order function — ANY lambda HOF in a projection knocks the whole
+    projection out of whole-stage codegen into the interpreted evaluator,
+    which measured ~10× slower AND badly contended across local[32] threads
+    (round 6; the same pathology simhash_bitstring documents). Occurrence
+    counting is instead done with a single codegen'd regex over the
+    space-normalized token stream: pad with spaces, count non-consuming
+    space-anchored alternation matches — token-equality semantics exactly
+    (lookaround anchors don't consume the separator, so adjacent stopwords
+    all match). Falls back to the HOF spec for stopword lists the regex
+    encoding cannot express as single tokens (empty / whitespace-bearing)."""
+    import re as _re
+
     sw = stopwords or STOPWORDS_EN
     toks = ws_tokens(F.lower(text))
-    hits = F.size(F.filter(toks, lambda t: t.isin(*sw)))
+    if any((not w) or _re.search(r"\s", w) for w in sw):
+        hits = F.size(F.filter(toks, lambda t: t.isin(*sw)))
+    else:
+        padded = F.concat(
+            F.lit(" "),
+            F.regexp_replace(F.trim(F.lower(text)), r"\s+", " "),
+            F.lit(" "),
+        )
+        pattern = "(?<= )(" + "|".join(_re.escape(w) for w in sw) + ")(?= )"
+        hits = F.regexp_count(padded, F.lit(pattern))
     return F.when(
         F.size(toks) > 0, hits.cast("double") / F.size(toks)
     ).otherwise(F.lit(0.0))
@@ -74,17 +115,17 @@ def quality_score(text: Column) -> Column:
     return (length_ok * 0.5 + punct_ok * 0.25 + sw_ok * 0.25).cast("double")
 
 
-def _membership(words: list[str]):
-    # single-arg lambda factory: a default-arg lambda (lambda t, m=...) would
-    # make Spark's higher-order-function binder pass TWO lambda variables
-    return lambda t: t.isin(*words)
-
-
 def lang_scores(text: Column) -> dict[str, Column]:
-    """Per-language marker-overlap counts (distinct marker words present)."""
+    """Per-language marker-overlap counts (distinct marker words present).
+
+    ``array_intersect`` against a literal marker array instead of a
+    ``filter``+``isin`` lambda: identical counts (the token array is
+    already distinct, and intersect counts each distinct marker token
+    once), but no lambda HOF — the projection stays in whole-stage codegen
+    (see stopword_ratio)."""
     toks = F.array_distinct(ws_tokens(F.lower(text)))
     return {
-        lang: F.size(F.filter(toks, _membership(markers)))
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in markers])))
         for lang, markers in LANG_MARKERS.items()
     }
 

@@ -113,6 +113,64 @@ def add_block_keys(
     )
 
 
+def _w_key(block_pass, block_key):
+    """The pass-priority winner encoding '<prio>|<pass>|<key>' — ONE
+    definition shared by the agg dedup (:func:`dedup_pairs`) and the local
+    winner filter (:func:`_winner_filter`), so both pick the identical
+    representative."""
+    prio = (
+        F.when(block_pass == "prefix", "1")
+        .when(block_pass == "metaphone", "2")
+        .otherwise("3")
+    )
+    return F.concat_ws("|", prio, block_pass, block_key)
+
+
+def _all_keys_w(df: DataFrame) -> F.Column:
+    """Array of winner-encoded strings for EVERY pass key this row emits —
+    exactly the keys :func:`_pass_keys` explodes (same ``!= ''`` guards).
+    Computed in the same projection as the keys themselves; used by the
+    local winner filter on join paths without a block-size cap."""
+    parts = [
+        F.when(
+            F.col("block_prefix") != "",
+            F.array(_w_key(F.lit("prefix"), F.col("block_prefix"))),
+        ).otherwise(F.array().cast("array<string>")),
+        F.when(
+            F.col("block_metaphone") != "",
+            F.array(_w_key(F.lit("metaphone"), F.col("block_metaphone"))),
+        ).otherwise(F.array().cast("array<string>")),
+        F.transform(F.col("block_lsh"), lambda k: _w_key(F.lit("lsh"), k)),
+    ]
+    return F.concat(*parts)
+
+
+def _winner_filter(joined: DataFrame) -> DataFrame:
+    """First-wins cross-pass dedup as a LOCAL filter — zero shuffle, zero
+    sort (round 6; guide §2.4 'remove shuffles outright').
+
+    ``dedup_pairs`` aggregates the full pair stream by (left, right) to
+    pick min('<prio>|<pass>|<key>') — and min over a STRING buffer is not
+    hash-aggregable, so the 2.4×-duplicated pre-dedup stream (84M rows at
+    the sf0.1 bench) pays a SortAggregate sort, plus an exchange on the
+    self path. But the winner is decidable PER ROW: a pair's candidate
+    keys are exactly the shared entries of the two sides' key arrays
+    (every key embeds its band/pass, so a key matches only its own pass
+    row), and a pair row exists for every shared key on cap-free paths —
+    so the row whose own encoded key equals the min over
+    ``array_intersect(left_keys_w, right_keys_w)`` is precisely the row
+    the aggregate would have kept, payload and all (payload is
+    functionally dependent on the pair keys).
+
+    Callers must guarantee every shared key produced a row (no per-block
+    drops), or pass arrays already restricted to SURVIVING keys — see
+    ``self_candidates``, which collects per-entity surviving keys so the
+    winner is the min over passes that actually emitted the pair."""
+    own = _w_key(F.col("block_pass"), F.col("block_key"))
+    shared_min = F.array_min(F.array_intersect(F.col("_lkw"), F.col("_rkw")))
+    return joined.filter(own == shared_min)
+
+
 def _pass_keys(
     keyed: DataFrame, id_col: str, payload: dict[str, str] | None = None
 ) -> DataFrame:
@@ -122,11 +180,12 @@ def _pass_keys(
     matter: the pipeline's stage count is the latency floor on small
     inputs and the scheduler load at 10^12 rows).
 
-    ``payload`` maps output alias → source column; carrying the normalized
-    names (and the dictionary description) THROUGH the block/pair shuffle
-    removes the two pair-level name-attachment joins the scorer would
-    otherwise need — at 10^12 pairs that is two full shuffles of the pair
-    table traded for slightly wider blocking rows."""
+    ``payload`` maps output alias → source column name (or a Column
+    expression); carrying the normalized names (and the dictionary
+    description) THROUGH the block/pair shuffle removes the two pair-level
+    name-attachment joins the scorer would otherwise need — at 10^12 pairs
+    that is two full shuffles of the pair table traded for slightly wider
+    blocking rows."""
     payload = payload or {}
     passes = F.array(
         F.struct(F.lit("prefix").alias("block_pass"), F.col("block_prefix").alias("block_key")),
@@ -139,7 +198,10 @@ def _pass_keys(
     return (
         keyed.select(
             F.col(id_col).alias("id"),
-            *[F.col(src_).alias(dst) for dst, src_ in payload.items()],
+            *[
+                (F.col(src_) if isinstance(src_, str) else src_).alias(dst)
+                for dst, src_ in payload.items()
+            ],
             F.explode(F.concat(passes, lsh)).alias("p"),
         )
         .select("id", *payload.keys(), "p.block_pass", "p.block_key")
@@ -191,7 +253,15 @@ def dictionary_candidates(
     e = _pass_keys(
         entities_keyed,
         "entity_key",
-        {"left_name": "norm_name", "left_sorted": "_token_sorted"},
+        {
+            "left_name": "norm_name",
+            "left_sorted": "_token_sorted",
+            # every pass key this entity emits, winner-encoded — the local
+            # dedup filter below picks the min shared key without any
+            # pair-level aggregate (no block cap on this path, so a pair
+            # row exists for every shared key)
+            "_lkw": _all_keys_w(entities_keyed),
+        },
     ).withColumnRenamed("id", "left_key")
     # multi-source dictionaries (Wikidata ∪ VIAF ∪ Getty) carry their source
     # metadata through the pair shuffle so scoring can apply F9/F10 boosts
@@ -207,6 +277,7 @@ def dictionary_candidates(
         "right_name": "norm_label",
         "right_description": "description",
         "right_sorted": "_token_sorted",
+        "_rkw": _all_keys_w(dictionary_keyed),
     }
     source_cols = [
         c for c in ("source", "n_sources", "term_type") if c in dictionary_keyed.columns
@@ -261,7 +332,7 @@ def dictionary_candidates(
         if entity_rows is not None and entity_rows <= REPARTITION_MAX_ENTITY_ROWS:
             nparts = int(e.sparkSession.conf.get("spark.sql.shuffle.partitions"))
             e = e.repartition(nparts, "left_key")
-        joined = e.join(F.broadcast(d), ["block_pass", "block_key"]).select(*out_cols)
+        joined = e.join(F.broadcast(d), ["block_pass", "block_key"])
     else:
         salted_e = e.withColumn(
             "_salt", F.pmod(F.xxhash64("left_key"), F.lit(shuffle_salts)).cast("int")
@@ -269,10 +340,13 @@ def dictionary_candidates(
         replicated_d = d.withColumn(
             "_salt", F.explode(F.sequence(F.lit(0), F.lit(shuffle_salts - 1)))
         )
-        joined = salted_e.join(
-            replicated_d, ["block_pass", "block_key", "_salt"]
-        ).select(*out_cols)
-    return dedup_pairs(joined)
+        joined = salted_e.join(replicated_d, ["block_pass", "block_key", "_salt"])
+    # first-wins dedup as a row-local filter (round 6): the former
+    # dedup_pairs aggregate sorted the ~2.5×-duplicated pre-dedup stream
+    # (SortAggregate — min over a string buffer is not hash-aggregable);
+    # the winner is decidable per row from the two sides' key arrays.
+    # Output is identical (parity-tested against dedup_pairs).
+    return _winner_filter(joined).select(*out_cols)
 
 
 def self_candidates(
@@ -329,13 +403,24 @@ def self_candidates(
     # scales with the entity universe, so the broadcast hint is SIZE-GATED
     # (round-4 verdict item 1), bounded-probed on the entity frame when the
     # caller doesn't pass ``entity_rows``
+    frames_small = _key_frames_small(entities_keyed, entity_rows, broadcast_max_rows)
     fk = f.join(
         _maybe_broadcast(
-            ok.select("block_pass", "block_key", "n_salts"),
-            _key_frames_small(entities_keyed, entity_rows, broadcast_max_rows),
+            ok.select("block_pass", "block_key", "n_salts"), frames_small
         ),
         ["block_pass", "block_key"],
     )
+    # per-entity SURVIVING winner-encoded key list (this path drops
+    # oversized blocks, so the local winner filter must rank only keys
+    # that actually emitted rows — dropped keys are absent from fk by
+    # construction). One entity-level aggregate + attach join (size-gated
+    # broadcast; element order is irrelevant — the filter takes
+    # min(intersect)) replaces the pair-level SortAggregate dedup that
+    # sorted and re-shuffled the ~2.4×-duplicated pair stream.
+    surv = fk.groupBy("id").agg(
+        F.collect_list(_w_key(F.col("block_pass"), F.col("block_key"))).alias("_kw")
+    )
+    fk = fk.join(_maybe_broadcast(surv, frames_small), "id")
     left = fk.select(
         "block_pass",
         "block_key",
@@ -343,6 +428,7 @@ def self_candidates(
         F.col("id").alias("left_key"),
         F.col("nm").alias("left_name"),
         F.col("srt").alias("left_sorted"),
+        F.col("_kw").alias("_lkw"),
     )
     right = fk.select(
         "block_pass",
@@ -351,18 +437,19 @@ def self_candidates(
         F.col("id").alias("right_key"),
         F.col("nm").alias("right_name"),
         F.col("srt").alias("right_sorted"),
+        F.col("_kw").alias("_rkw"),
     )
-    pairs = (
-        left.join(right, ["block_pass", "block_key", "salt"])
-        .filter(F.col("left_key") < F.col("right_key"))
-        .select(
-            "left_key", "right_key", "block_pass", "block_key",
-            "left_name", "right_name",
-            F.lit(None).cast("string").alias("right_description"),
-            "left_sorted", "right_sorted",
+    pairs = _winner_filter(
+        left.join(right, ["block_pass", "block_key", "salt"]).filter(
+            F.col("left_key") < F.col("right_key")
         )
+    ).select(
+        "left_key", "right_key", "block_pass", "block_key",
+        "left_name", "right_name",
+        F.lit(None).cast("string").alias("right_description"),
+        "left_sorted", "right_sorted",
     )
-    return dedup_pairs(pairs), dropped
+    return pairs, dropped
 
 
 def asymmetric_candidates(
@@ -474,7 +561,18 @@ def dedup_pairs(pairs: DataFrame) -> DataFrame:
     SortAggregate (min over a non-primitive buffer isn't hash-aggregable in
     Spark), but both keep the map-side partial min — the shuffle carries one
     pre-reduced row per (pair, map-partition) — and the flat string halves
-    the shuffle payload vs the struct."""
+    the shuffle payload vs the struct.
+
+    Round 6: the two bulk paths (``dictionary_candidates``,
+    ``self_candidates``) no longer call this — the SortAggregate sorted the
+    ~2.4×-duplicated pre-dedup pair stream end to end; they dedup with the
+    shuffle-free :func:`_winner_filter` instead (identical output,
+    parity-tested). This aggregate remains the executable spec for that
+    parity test and the dedup for :func:`asymmetric_candidates`, whose
+    canonicalization step emits new↔new pairs from BOTH orientations as
+    identical rows — a local filter cannot collapse identical duplicates,
+    and per-batch pair streams are small enough that the aggregate is
+    noise there."""
     prio = F.when(F.col("block_pass") == "prefix", "1").when(
         F.col("block_pass") == "metaphone", "2"
     ).otherwise("3")

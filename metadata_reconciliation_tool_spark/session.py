@@ -58,6 +58,17 @@ def build_session(
         # socket round-trip (small batches showed up as JVM kernel-time
         # churn in profiling), small enough to keep per-batch memory bounded.
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "50000")
+        # scan-split size: the sandbox's test parquet uses ~22 MB row
+        # groups, so the 128 MB default packs a whole multi-row-group file
+        # into one or two tasks and serializes the scan; 32 MB splits give
+        # row-group-granular parallelism. On a production cluster with
+        # 128 MB-1 GB files, override via SPARK_GRAFT_MAX_PARTITION_BYTES
+        # (guide: larger splits cut scheduling overhead for big sequential
+        # scans — the right value tracks the table's row-group size).
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(32 * 1024 * 1024)),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
