@@ -349,6 +349,52 @@ def lsh_keys_udf(s: pd.Series) -> pd.Series:
     return s.map(one)
 
 
+_LSH_KEYS_SIGS_SCHEMA = T.StructType(
+    [
+        T.StructField("keys", T.ArrayType(T.StringType())),
+        T.StructField("sigs", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+@F.pandas_udf(_LSH_KEYS_SIGS_SCHEMA)
+def lsh_keys_sigs_udf(s: pd.Series) -> pd.DataFrame:
+    """norm_name → (band keys, band signatures) in ONE minhash pass.
+
+    ``keys`` is exactly :func:`lsh_keys_udf` (parity-pinned). ``sigs[i]``
+    is band i's md5 first-8-bytes as a signed int64 — a BIJECTION of the
+    16-hex-char hash embedded in ``keys[i]`` (same bytes), so for two
+    names of the same entity type: keys[i] equal ⟺ sigs[i] equal, with
+    no collision risk. Blocking's local winner filter compares the 8-byte
+    longs instead of ~25-char typed key strings (round 6)."""
+    import hashlib as _hashlib
+    import struct as _struct
+
+    num_perm, bands, rows = LSH_NUM_PERM, LSH_BANDS, LSH_ROWS
+    a, b = _minhash_params(num_perm)
+
+    keys_out: list[list[str]] = []
+    sigs_out: list[list[int]] = []
+    for text in s:
+        if not text:
+            keys_out.append([])
+            sigs_out.append([])
+            continue
+        sig = minhash_signature_py(text, num_perm, a, b)
+        keys = []
+        sigs = []
+        for bi in range(bands):
+            band = sig[bi * rows : (bi + 1) * rows]
+            digest = _hashlib.md5(_struct.pack(f"<{rows}Q", *band)).digest()
+            h = digest[:8].hex()
+            keys.append(f"{bi}:{h}")
+            v = int.from_bytes(digest[:8], "big")
+            sigs.append(v - (1 << 64) if v >= (1 << 63) else v)
+        keys_out.append(keys)
+        sigs_out.append(sigs)
+    return pd.DataFrame({"keys": keys_out, "sigs": sigs_out})
+
+
 _TITLES = {"mr", "mrs", "ms", "dr", "prof", "sir", "dame"}
 
 

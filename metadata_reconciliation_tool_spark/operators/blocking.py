@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.normalize import token_sort
-from ..functions.similarity import LSH_BANDS, lsh_keys_udf, surname_key_udf
+from ..functions.similarity import LSH_BANDS, lsh_keys_sigs_udf, surname_key_udf
 
 PASS_PRIORITY = {"prefix": 1, "metaphone": 2, "lsh": 3}
 PREFIX_LEN = 6
@@ -103,76 +103,102 @@ def add_block_keys(
             ),
         )
         .drop("_mp")
+        .withColumn("_ks", lsh_keys_sigs_udf(F.col("_token_sorted")))
         .withColumn(
             "block_lsh",
             F.transform(
-                lsh_keys_udf(F.col("_token_sorted")),
+                F.col("_ks.keys"),
                 lambda k: F.concat_ws(":", t, k),
             ),
         )
+        # band signatures: sigs[i] is a bijection of the hash inside
+        # block_lsh[i] (same md5 bytes) — the winner filter compares these
+        # 8-byte longs positionwise instead of the typed key strings
+        .withColumn("block_sig", F.col("_ks.sigs"))
+        .drop("_ks")
     )
 
 
-def _w_key(block_pass, block_key):
-    """The pass-priority winner encoding '<prio>|<pass>|<key>' — ONE
-    definition shared by the agg dedup (:func:`dedup_pairs`) and the local
-    winner filter (:func:`_winner_filter`), so both pick the identical
-    representative."""
-    prio = (
-        F.when(block_pass == "prefix", "1")
-        .when(block_pass == "metaphone", "2")
-        .otherwise("3")
-    )
-    return F.concat_ws("|", prio, block_pass, block_key)
+# Band indices in the lexicographic order of their key strings: every
+# shared key between a pair carries the pair's common '<type>:' prefix, so
+# min over shared lsh keys '<type>:<band>:<hash>' is decided ENTIRELY by
+# the band-digit region ('0:' < '10:' < … < '15:' < '1:' < '2:' < …; the
+# hash is reached only for the SAME band, where the keys are identical).
+# The winner band is therefore the first shared band in this fixed order.
+_LSH_RANK = sorted(range(LSH_BANDS), key=lambda b: f"{b}:")
 
 
-def _all_keys_w(df: DataFrame) -> F.Column:
-    """Array of winner-encoded strings for EVERY pass key this row emits —
-    exactly the keys :func:`_pass_keys` explodes (same ``!= ''`` guards).
-    Computed in the same projection as the keys themselves; used by the
-    local winner filter on join paths without a block-size cap."""
-    parts = [
-        F.when(
-            F.col("block_prefix") != "",
-            F.array(_w_key(F.lit("prefix"), F.col("block_prefix"))),
-        ).otherwise(F.array().cast("array<string>")),
-        F.when(
-            F.col("block_metaphone") != "",
-            F.array(_w_key(F.lit("metaphone"), F.col("block_metaphone"))),
-        ).otherwise(F.array().cast("array<string>")),
-        F.transform(F.col("block_lsh"), lambda k: _w_key(F.lit("lsh"), k)),
-    ]
-    return F.concat(*parts)
-
-
-def _winner_filter(joined: DataFrame) -> DataFrame:
+def _winner_filter(joined: DataFrame, with_alive: bool = False) -> DataFrame:
     """First-wins cross-pass dedup as a LOCAL filter — zero shuffle, zero
-    sort (round 6; guide §2.4 'remove shuffles outright').
+    sort, ~ns per row (round 6; guide §2.4 'remove shuffles outright').
 
     ``dedup_pairs`` aggregates the full pair stream by (left, right) to
     pick min('<prio>|<pass>|<key>') — and min over a STRING buffer is not
-    hash-aggregable, so the 2.4×-duplicated pre-dedup stream (84M rows at
-    the sf0.1 bench) pays a SortAggregate sort, plus an exchange on the
-    self path. But the winner is decidable PER ROW: a pair's candidate
-    keys are exactly the shared entries of the two sides' key arrays
-    (every key embeds its band/pass, so a key matches only its own pass
-    row), and a pair row exists for every shared key on cap-free paths —
-    so the row whose own encoded key equals the min over
-    ``array_intersect(left_keys_w, right_keys_w)`` is precisely the row
-    the aggregate would have kept, payload and all (payload is
-    functionally dependent on the pair keys).
+    hash-aggregable, so the ~2.4×-duplicated pre-dedup stream (84M rows at
+    the sf0.1 bench) paid a SortAggregate sort plus an exchange on the
+    self path. But the winner is decidable PER ROW:
 
-    Callers must guarantee every shared key produced a row (no per-block
-    drops), or pass arrays already restricted to SURVIVING keys — see
-    ``self_candidates``, which collects per-entity surviving keys so the
-    winner is the min over passes that actually emitted the pair."""
-    own = _w_key(F.col("block_pass"), F.col("block_key"))
-    shared_min = F.array_min(F.array_intersect(F.col("_lkw"), F.col("_rkw")))
-    return joined.filter(own == shared_min)
+    - a pair's candidate keys are exactly the keys BOTH sides emit (a key
+      matches only its own pass/band, and both sides of any pair share an
+      entity type, so band keys are equal iff their 8-byte signatures are);
+    - pass priority makes prefix > metaphone > lsh, and among shared lsh
+      bands the winner is the first in ``_LSH_RANK`` (see above);
+    - so a row survives iff no strictly-better shared key exists and, for
+      lsh rows, its own band (``key_idx − 2``) is the first shared band.
+
+    A first try ranked min over ``array_intersect`` of winner-encoded
+    string arrays — measured ~5 µs/row (string hash-set build per row,
+    ~15 s of bench wall across both paths); this cascade is two short
+    string equalities plus ≤16 long compares, evaluated lazily.
+
+    ``with_alive=True`` (the capped self path): each side carries an
+    ``_alive`` bitmask of its keys that SURVIVED the block-size cap
+    (bit = key_idx); a shared key only outranks this row if it also
+    survived — exactly the aggregate's behavior over surviving rows. The
+    cap-free dictionary path passes no mask (every shared key emitted).
+    Expected columns: key_idx, plus per-side _l_bp/_l_bm/_l_sig (and
+    _l_alive) and the _r_* twins."""
+
+    def alive(i: int):
+        return (
+            (F.col("_l_alive").bitwiseAND(F.lit(1 << i)) != 0)
+            if with_alive
+            else F.lit(True)
+        )
+
+    prefix_shared = (
+        (F.col("_l_bp") == F.col("_r_bp")) & (F.col("_l_bp") != "") & alive(0)
+    )
+    metaphone_shared = (
+        (F.col("_l_bm") == F.col("_r_bm")) & (F.col("_l_bm") != "") & alive(1)
+    )
+    first_lsh_idx = F.coalesce(
+        *[
+            F.when(
+                (F.col("_l_sig").getItem(b) == F.col("_r_sig").getItem(b))
+                & alive(2 + b),
+                F.lit(2 + b),
+            )
+            for b in _LSH_RANK
+        ]
+    )
+    keep = (
+        F.when(F.col("key_idx") == 0, F.lit(True))
+        .when(F.col("key_idx") == 1, ~prefix_shared)
+        .otherwise(
+            (~prefix_shared)
+            & (~metaphone_shared)
+            & (F.col("key_idx") == first_lsh_idx)
+        )
+    )
+    return joined.filter(keep)
 
 
 def _pass_keys(
-    keyed: DataFrame, id_col: str, payload: dict[str, str] | None = None
+    keyed: DataFrame,
+    id_col: str,
+    payload: dict[str, str] | None = None,
+    with_key_idx: bool = False,
 ) -> DataFrame:
     """One (id, block_pass, block_key, *payload) frame for all three passes
     — a single explode instead of three separate branches keeps the
@@ -188,13 +214,29 @@ def _pass_keys(
     blocking rows."""
     payload = payload or {}
     passes = F.array(
-        F.struct(F.lit("prefix").alias("block_pass"), F.col("block_prefix").alias("block_key")),
-        F.struct(F.lit("metaphone").alias("block_pass"), F.col("block_metaphone").alias("block_key")),
+        F.struct(
+            F.lit("prefix").alias("block_pass"),
+            F.col("block_prefix").alias("block_key"),
+            F.lit(0).alias("key_idx"),
+        ),
+        F.struct(
+            F.lit("metaphone").alias("block_pass"),
+            F.col("block_metaphone").alias("block_key"),
+            F.lit(1).alias("key_idx"),
+        ),
     )
     lsh = F.transform(
         F.col("block_lsh"),
-        lambda k: F.struct(F.lit("lsh").alias("block_pass"), k.alias("block_key")),
+        lambda k, i: F.struct(
+            F.lit("lsh").alias("block_pass"),
+            k.alias("block_key"),
+            (i + 2).alias("key_idx"),
+        ),
     )
+    # key_idx: 0=prefix, 1=metaphone, 2+band=lsh — the winner filter's
+    # cascade ranks by it, and the capped self path packs survival bits at
+    # these positions
+    idx_cols = ["p.key_idx"] if with_key_idx else []
     return (
         keyed.select(
             F.col(id_col).alias("id"),
@@ -204,7 +246,7 @@ def _pass_keys(
             ],
             F.explode(F.concat(passes, lsh)).alias("p"),
         )
-        .select("id", *payload.keys(), "p.block_pass", "p.block_key")
+        .select("id", *payload.keys(), "p.block_pass", "p.block_key", *idx_cols)
         .filter(F.col("block_key") != "")
     )
 
@@ -256,12 +298,16 @@ def dictionary_candidates(
         {
             "left_name": "norm_name",
             "left_sorted": "_token_sorted",
-            # every pass key this entity emits, winner-encoded — the local
-            # dedup filter below picks the min shared key without any
-            # pair-level aggregate (no block cap on this path, so a pair
-            # row exists for every shared key)
-            "_lkw": _all_keys_w(entities_keyed),
+            # this side's pass keys in compact form (prefix/metaphone
+            # strings + 8-byte band signatures) — the local dedup filter
+            # below picks the best shared key without any pair-level
+            # aggregate (no block cap on this path, so a pair row exists
+            # for every shared key)
+            "_l_bp": "block_prefix",
+            "_l_bm": "block_metaphone",
+            "_l_sig": "block_sig",
         },
+        with_key_idx=True,
     ).withColumnRenamed("id", "left_key")
     # multi-source dictionaries (Wikidata ∪ VIAF ∪ Getty) carry their source
     # metadata through the pair shuffle so scoring can apply F9/F10 boosts
@@ -277,7 +323,9 @@ def dictionary_candidates(
         "right_name": "norm_label",
         "right_description": "description",
         "right_sorted": "_token_sorted",
-        "_rkw": _all_keys_w(dictionary_keyed),
+        "_r_bp": "block_prefix",
+        "_r_bm": "block_metaphone",
+        "_r_sig": "block_sig",
     }
     source_cols = [
         c for c in ("source", "n_sources", "term_type") if c in dictionary_keyed.columns
@@ -386,7 +434,16 @@ def self_candidates(
     Returns (pairs, dropped_blocks_metrics).
     """
     f = _pass_keys(
-        entities_keyed, "entity_key", {"nm": "norm_name", "srt": "_token_sorted"}
+        entities_keyed,
+        "entity_key",
+        {
+            "nm": "norm_name",
+            "srt": "_token_sorted",
+            "_bp": "block_prefix",
+            "_bm": "block_metaphone",
+            "_sig": "block_sig",
+        },
+        with_key_idx=True,
     )
     sizes = f.groupBy("block_pass", "block_key").agg(F.count("*").alias("block_n"))
     dropped = sizes.filter(F.col("block_n") > max_block_size).select(
@@ -410,25 +467,29 @@ def self_candidates(
         ),
         ["block_pass", "block_key"],
     )
-    # per-entity SURVIVING winner-encoded key list (this path drops
-    # oversized blocks, so the local winner filter must rank only keys
-    # that actually emitted rows — dropped keys are absent from fk by
-    # construction). One entity-level aggregate + attach join (size-gated
-    # broadcast; element order is irrelevant — the filter takes
-    # min(intersect)) replaces the pair-level SortAggregate dedup that
-    # sorted and re-shuffled the ~2.4×-duplicated pair stream.
+    # per-entity SURVIVAL BITMASK (this path drops oversized blocks, so
+    # the local winner filter must rank only keys that actually emitted
+    # rows — dropped keys are absent from fk by construction): bit
+    # ``key_idx`` set iff that key survived the cap. One entity-level
+    # aggregate + an 8-byte attach join (size-gated broadcast) replaces
+    # the pair-level SortAggregate dedup that sorted and re-shuffled the
+    # ~2.4×-duplicated pair stream.
     surv = fk.groupBy("id").agg(
-        F.collect_list(_w_key(F.col("block_pass"), F.col("block_key"))).alias("_kw")
+        F.bit_or(F.expr("shiftleft(1L, key_idx)")).alias("_alive")
     )
     fk = fk.join(_maybe_broadcast(surv, frames_small), "id")
     left = fk.select(
         "block_pass",
         "block_key",
+        "key_idx",
         F.pmod(F.xxhash64("id"), F.col("n_salts")).cast("int").alias("salt"),
         F.col("id").alias("left_key"),
         F.col("nm").alias("left_name"),
         F.col("srt").alias("left_sorted"),
-        F.col("_kw").alias("_lkw"),
+        F.col("_bp").alias("_l_bp"),
+        F.col("_bm").alias("_l_bm"),
+        F.col("_sig").alias("_l_sig"),
+        F.col("_alive").alias("_l_alive"),
     )
     right = fk.select(
         "block_pass",
@@ -437,12 +498,15 @@ def self_candidates(
         F.col("id").alias("right_key"),
         F.col("nm").alias("right_name"),
         F.col("srt").alias("right_sorted"),
-        F.col("_kw").alias("_rkw"),
+        F.col("_bp").alias("_r_bp"),
+        F.col("_bm").alias("_r_bm"),
+        F.col("_sig").alias("_r_sig"),
     )
     pairs = _winner_filter(
         left.join(right, ["block_pass", "block_key", "salt"]).filter(
             F.col("left_key") < F.col("right_key")
-        )
+        ),
+        with_alive=True,
     ).select(
         "left_key", "right_key", "block_pass", "block_key",
         "left_name", "right_name",

@@ -69,6 +69,20 @@ def build_session(
             "spark.sql.files.maxPartitionBytes",
             os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(32 * 1024 * 1024)),
         )
+        # whole-stage codegen emits ONE method per fused region; HotSpot
+        # refuses to JIT methods over ~8 KB of bytecode
+        # (-XX:DontCompileHugeMethods), so a fused region between Spark's
+        # default fallback threshold (65535) and the JIT limit runs as
+        # INTERPRETED BYTECODE — measured 3.4× slower than Spark's own
+        # interpreted-expression fallback on this engine's fused
+        # blocking+scoring stages (35 s → 10 s for the pair stream).
+        # Aligning the fallback threshold with the JIT limit keeps codegen
+        # for every region the JVM can actually compile. A JVM constant,
+        # not a data-size tune — applies identically on a cluster.
+        .config(
+            "spark.sql.codegen.hugeMethodLimit",
+            os.environ.get("SPARK_GRAFT_HUGE_METHOD_LIMIT", "8000"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
