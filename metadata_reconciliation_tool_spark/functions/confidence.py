@@ -58,16 +58,26 @@ def wikidata_confidence(
     description: Column | None = None,
     search_tokens: Column | None = None,
     label_tokens: Column | None = None,
+    overlap_count: Column | None = None,
+    total_count: Column | None = None,
 ) -> Column:
     """F7 — exact replica of the cultural client's piecewise formula.
 
     ``search_tokens``/``label_tokens``: optionally pass precomputed
     distinct-token arrays so a caller scoring millions of pairs doesn't
-    re-split/re-dedup the same strings in every sub-expression."""
+    re-split/re-dedup the same strings in every sub-expression.
+    ``overlap_count``/``total_count``: optionally pass the already-computed
+    |A ∩ B| / |A ∪ B| integer columns so the intersect is evaluated once
+    per pair and shared with the caller's other formulas (round 6; the
+    union is |A| + |B| − |A ∩ B| — the identical integer)."""
     if search_tokens is not None and label_tokens is not None:
         ta, tb = search_tokens, label_tokens
-        overlap = F.size(F.array_intersect(ta, tb)).cast("double")
-        total = F.size(F.array_union(ta, tb)).cast("double")
+        if overlap_count is not None and total_count is not None:
+            overlap = overlap_count.cast("double")
+            total = total_count.cast("double")
+        else:
+            overlap = F.size(F.array_intersect(ta, tb)).cast("double")
+            total = F.size(F.array_union(ta, tb)).cast("double")
     else:
         ta, tb, overlap, total = _overlap_total(search, label)
     both = (F.size(ta) > 0) & (F.size(tb) > 0)

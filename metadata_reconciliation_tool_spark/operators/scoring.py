@@ -151,18 +151,33 @@ def score_pairs(
     named_pairs = named_pairs.withColumn(
         "_lt", F.array_distinct(F.array_remove(F.split(F.col("_ls"), " "), ""))
     ).withColumn("_rt", F.array_distinct(F.array_remove(F.split(F.col("_rs"), " "), "")))
+    # ONE token-set intersect per pair (round 6): jaccard and the F7
+    # formula both need |A ∩ B| and |A ∪ B|; the intersect is computed
+    # into a shared column and the union is the exact integer
+    # |A| + |B| − |A ∩ B| — the second per-pair set operation (and any
+    # repeat of the first under imperfect subexpression elimination)
+    # disappears from the 34M-row projection.
+    named_pairs = (
+        named_pairs.withColumn("_nl", F.size("_lt"))
+        .withColumn("_nr", F.size("_rt"))
+        .withColumn("_inter", F.size(F.array_intersect(F.col("_lt"), F.col("_rt"))))
+        .withColumn("_union", F.col("_nl") + F.col("_nr") - F.col("_inter"))
+    )
     lt, rt = F.col("_lt"), F.col("_rt")
     jaccard = F.when(
-        (F.size(lt) > 0) & (F.size(rt) > 0),
-        F.size(F.array_intersect(lt, rt)).cast("double")
-        / F.size(F.array_union(lt, rt)).cast("double"),
+        (F.col("_nl") > 0) & (F.col("_nr") > 0),
+        F.col("_inter").cast("double") / F.col("_union").cast("double"),
     ).otherwise(F.lit(0.0))
-    token_lev_ratio = F.when(
-        (F.col("_ls") == "") & (F.col("_rs") == ""), F.lit(1.0)
-    ).otherwise(
-        1.0
-        - F.levenshtein(F.col("_ls"), F.col("_rs")).cast("double")
-        / F.greatest(F.length("_ls"), F.length("_rs"), F.lit(1))
+    # equal token-sorted strings short-circuit the levenshtein DP: distance
+    # 0 → ratio exactly 1.0 (1 − 0/max), the identical value
+    token_lev_ratio = (
+        F.when((F.col("_ls") == "") & (F.col("_rs") == ""), F.lit(1.0))
+        .when(F.col("_ls") == F.col("_rs"), F.lit(1.0))
+        .otherwise(
+            1.0
+            - F.levenshtein(F.col("_ls"), F.col("_rs")).cast("double")
+            / F.greatest(F.length("_ls"), F.length("_rs"), F.lit(1))
+        )
     )
     wconf = wikidata_confidence(
         F.col("left_name"),
@@ -170,6 +185,8 @@ def score_pairs(
         F.col("right_description"),
         search_tokens=F.col("_lt"),
         label_tokens=F.col("_rt"),
+        overlap_count=F.col("_inter"),
+        total_count=F.col("_union"),
     )
     has_source = "right_source" in named_pairs.columns
 
