@@ -21,11 +21,42 @@ from pyspark.sql import functions as F
 
 def _ensure_parallelism(df: DataFrame) -> DataFrame:
     """Raise input parallelism before an expensive per-row projection:
-    local test parquet arrives as one file = one partition, which would
+    local test parquet arrives as one file = one scan split, which would
     serialize the hashing work; on a real cluster (input already split
-    across many files) the condition is a no-op."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    across many files) the condition is a no-op.
+
+    Round 6 (round-5 verdict item 6): gated on the plan's FILE-SOURCE
+    BYTES — driver-side metadata, no job — instead of the former
+    ``rdd.getNumPartitions()`` static probe, the exact
+    static-probe-lies-under-AQE pattern PLANS.md #24 measured and removed
+    from blocking. A file-backed input whose estimated scan splits fall
+    short of the session parallelism is fanned out; a non-file source (or
+    one already fanned out upstream — a Repartition in its plan) passes
+    through unchanged, so a 100 TB table never pays a gratuitous shuffle."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if not files:
+        return df
+    if "Repartition" in df._jdf.queryExecution().logical().toString():
+        return df  # caller already fanned the read out — don't shuffle twice
+    import os as _os
+
+    total = 0
+    for f in files:
+        try:
+            total += _os.path.getsize(f.removeprefix("file:"))
+        except OSError:
+            return df  # non-local storage: trust the source's splits
+    try:
+        max_split = int(spark.conf.get("spark.sql.files.maxPartitionBytes"))
+    except ValueError:
+        max_split = 128 * 1024 * 1024
+    est_splits = max(len(files), total // max(max_split, 1))
+    if est_splits < target:
         return df.repartition(target)
     return df
 

@@ -26,13 +26,20 @@ NEW batch against the existing checkpointed state:
    marker — reads stay consistent at every crash point), so state reads
    and the per-ingest driver listdir stay O(batches since last compaction)
    instead of O(all batches ever);
-6. refresh connected components INCREMENTALLY: the prior assignment
-   compresses each old component to star edges (member → cluster_id, one
-   edge per node), so CC runs over prior-stars ∪ the batch's match edges —
-   O(corpus nodes + batch edges), never the full ever-growing edge log. A
+6. refresh connected components INCREMENTALLY and write O(touched), not
+   O(corpus) (round-5 verdict item 1): the batch's match edges identify
+   the prior components they touch; CC runs over the TOUCHED components'
+   star edges ∪ the batch edges only, and the refreshed assignment is
+   written as a per-batch ``clusters_delta`` OVERLAY — rows only for
+   entities in touched components plus the batch's new entities. The
+   bootstrap ``stage_clusters`` is never rewritten; readers resolve
+   base ∪ overlays latest-wins (:meth:`IncrementalRecon.clusters_state`,
+   ordered by each dir's persisted ingest sequence) and compaction folds
+   overlays exactly like the other per-batch state. A
    clusters_reflect.json sidecar records which committed batches the
    clusters reflect, so a crash between batch commit and cluster refresh is
-   healed by folding the unreflected batches' edges back in.
+   healed by folding the unreflected batches' edges back in (idempotent —
+   re-folding a reflected batch's edges reproduces the same overlay).
 
 Determinism: a rerun of the same batch_id is idempotent (recomputes from
 committed state only, overwrites its own uncommitted leftovers).
@@ -177,6 +184,30 @@ class IncrementalRecon:
         covered = self._covered()
         return [b for b in self._committed_raw() if b not in covered]
 
+    # -- ingest-order sequencing (latest-wins overlay resolution) ----------
+
+    def _seq_of(self, batch_id: str) -> int:
+        """The dir's persisted ingest sequence (seq.json, written before the
+        commit marker). Overlay resolution orders dirs by it: a fold takes
+        the max of its sources, and folds only ever cover dirs OLDER than
+        every live unfolded one, so live seqs stay totally ordered. Dirs
+        from pre-overlay builds (no seq.json) fall back to their sorted
+        position — they predate clusters overlays, so order among them is
+        only cosmetic."""
+        try:
+            return int(self.fs.read_text(
+                os.path.join(self._batch_dir(batch_id), "seq.json")
+            ))
+        except (OSError, ValueError):
+            try:
+                return sorted(self._committed_raw()).index(batch_id)
+            except ValueError:
+                return -1
+
+    def _next_seq(self) -> int:
+        live = self._committed_raw()
+        return (max((self._seq_of(b) for b in live), default=-1)) + 1
+
     def _cleanup_covered(self) -> None:
         """Drop batch dirs already folded into a committed compaction —
         retried here (ingest/compact entry) so a crash after the compaction
@@ -273,6 +304,35 @@ class IncrementalRecon:
                 *[os.path.join(self._batch_dir(b), name) for b in batch_ids]
             )
             folded.write.mode("overwrite").parquet(os.path.join(cdir, name))
+        # clusters overlays fold latest-wins by each source dir's seq — the
+        # consolidated delta holds exactly the rows the pre-fold reader
+        # resolved from these dirs, so reads are identical before/after
+        delta_frames = []
+        for b in batch_ids:
+            p = os.path.join(self._batch_dir(b), "clusters_delta")
+            if W.stage_exists(self.spark, p):
+                delta_frames.append(
+                    W.read_stage(self.spark, p).withColumn(
+                        "_seq", F.lit(self._seq_of(b))
+                    )
+                )
+        if delta_frames:
+            from functools import reduce
+
+            from pyspark.sql import Window
+
+            alld = reduce(lambda a, c: a.unionByName(c), delta_frames)
+            w = Window.partitionBy("entity_key").orderBy(F.desc("_seq"))
+            resolved = (
+                alld.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .select("entity_key", "cluster_id")
+            )
+            W.write_stage(resolved, os.path.join(cdir, "clusters_delta"))
+        self.fs.write_text(
+            os.path.join(cdir, "seq.json"),
+            str(max(self._seq_of(b) for b in batch_ids)),
+        )
         covers = set(batch_ids)
         for b in batch_ids:
             manifest = os.path.join(self._batch_dir(b), "covers.json")
@@ -375,7 +435,7 @@ class IncrementalRecon:
                 ),
                 "new_scores": spark.read.parquet(os.path.join(bdir, "scoring")),
                 "new_best": spark.read.parquet(os.path.join(bdir, "best")),
-                "clusters": spark.read.parquet(self._stage("clusters")),
+                "clusters": self.clusters_state(),
             }
         if batch_id in self._covered():
             # redelivery of a batch that compaction has already folded away:
@@ -389,7 +449,7 @@ class IncrementalRecon:
                 "new_entities": self._read_state("entities_distinct").limit(0),
                 "new_scores": self._read_state("scoring").limit(0),
                 "new_best": self._read_state("best").limit(0),
-                "clusters": spark.read.parquet(self._stage("clusters")),
+                "clusters": self.clusters_state(),
             }
 
         old_distinct = self._read_state("entities_distinct")
@@ -459,6 +519,9 @@ class IncrementalRecon:
             self._dict_broadcast[dict_id],
         )
         batch_best.write.mode("overwrite").parquet(os.path.join(bdir, "best"))
+        # ingest sequence for latest-wins overlay resolution, persisted
+        # before the commit marker so every committed dir carries one
+        self.fs.write_text(os.path.join(bdir, "seq.json"), str(self._next_seq()))
         self.fs.write_text(os.path.join(bdir, COMMIT_MARKER), "")
 
         # refresh clusters — derived state, rebuilt after commit (safe to
@@ -479,8 +542,47 @@ class IncrementalRecon:
             "new_entities": spark.read.parquet(os.path.join(bdir, "entities_distinct")),
             "new_scores": spark.read.parquet(os.path.join(bdir, "scoring")),
             "new_best": spark.read.parquet(os.path.join(bdir, "best")),
-            "clusters": spark.read.parquet(self._stage("clusters")),
+            "clusters": self.clusters_state(),
         }
+
+    def clusters_state(self) -> DataFrame:
+        """Corpus-wide cluster assignment: bootstrap ``stage_clusters`` ∪
+        committed per-batch ``clusters_delta`` overlays, latest-wins by
+        ingest sequence (round-5 verdict item 1 — the refresh writes only
+        touched rows, so the current assignment is a resolved view, never
+        a per-batch corpus rewrite).
+
+        Cost shape: the overlays are batch-scaled, so the resolution
+        window runs over O(touched-since-compaction) rows and the base is
+        filtered with one anti-join against those keys (AQE broadcasts the
+        small side); compaction folds overlays so the live overlay count
+        stays O(auto_compact_every)."""
+        from functools import reduce
+
+        from pyspark.sql import Window
+
+        base = W.read_stage(self.spark, self._stage("clusters"))
+        frames = []
+        for b in self.committed_batches():
+            p = os.path.join(self._batch_dir(b), "clusters_delta")
+            if W.stage_exists(self.spark, p):
+                frames.append(
+                    W.read_stage(self.spark, p).withColumn(
+                        "_seq", F.lit(self._seq_of(b))
+                    )
+                )
+        if not frames:
+            return base
+        alld = reduce(lambda a, c: a.unionByName(c), frames)
+        w = Window.partitionBy("entity_key").orderBy(F.desc("_seq"))
+        resolved = (
+            alld.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("entity_key", "cluster_id")
+        )
+        return base.join(
+            resolved.select("entity_key"), "entity_key", "left_anti"
+        ).unionByName(resolved)
 
     def best_matches(self) -> DataFrame:
         """Corpus-wide best matches: bootstrap stage_best ∪ committed batch
@@ -491,48 +593,82 @@ class IncrementalRecon:
         return self._read_state("best")
 
     def _refresh_clusters(self, committed: list[str]) -> None:
-        """Rebuild the clusters stage to reflect all ``committed`` batches.
+        """Refresh clusters to reflect all ``committed`` batches, writing
+        O(touched entities), never O(corpus) (round-5 verdict item 1 — the
+        former refresh re-joined the full entities_distinct state and
+        OVERWROTE the whole clusters stage every ingest).
 
-        The prior assignment compresses each old component to star edges
-        (member → cluster_id, one edge per node), so CC runs over
-        prior-stars ∪ the unreflected batches' match edges instead of every
-        match edge ever scored: connectivity is preserved (stars keep each
-        old component connected; cluster ids are min member keys, and CC
-        re-derives the min over any merged component), and CC input stays
-        O(corpus nodes + batch edges), not O(all edges)."""
+        The unreflected batches' match edges name the prior components
+        they touch; only those components can change. CC therefore runs
+        over the touched components' star edges ∪ the batch edges —
+        O(touched + batch), smaller even than the former prior-stars input
+        (O(corpus non-singleton nodes)) — and the refreshed assignment is
+        written as a per-batch ``clusters_delta`` overlay holding exactly
+        the touched components' members plus the batches' new entities.
+        Untouched entities keep their base/overlay rows untouched;
+        :meth:`clusters_state` resolves latest-wins. Idempotent: re-running
+        over already-reflected state reproduces the identical overlay
+        (folding reflected edges into their own merged components is a
+        no-op), so the reflect-sidecar crash heal is unchanged."""
         spark = self.spark
         clusters_path = self._stage("clusters")
         reflected = self._clusters_reflect()
         if W.stage_exists(spark, clusters_path) and reflected is not None:
-            # star edges preserve each prior component's connectivity with
-            # one edge per node; add match edges of every committed batch
-            # the prior clusters don't reflect yet (normally just this one —
-            # more after a crash between commit and cluster refresh)
-            prior_stars = (
-                W.read_stage(spark, clusters_path)
-                .filter(F.col("entity_key") != F.col("cluster_id"))
-                .select(
-                    F.col("entity_key").alias("left_key"),
-                    F.col("cluster_id").alias("right_key"),
-                )
-            )
             missing = [b for b in committed if b not in reflected]
-            edges = prior_stars
-            if missing:
-                unreflected = spark.read.parquet(
-                    *[os.path.join(self._batch_dir(b), "scoring") for b in missing]
-                )
-                edges = prior_stars.unionByName(
-                    unreflected.filter(
-                        (F.col("pair_kind") == "self") & F.col("is_match")
-                    ).select("left_key", "right_key")
-                )
+            if not missing:
+                self._write_clusters_reflect(committed)
+                return
+            unreflected = spark.read.parquet(
+                *[os.path.join(self._batch_dir(b), "scoring") for b in missing]
+            )
+            new_edges = unreflected.filter(
+                (F.col("pair_kind") == "self") & F.col("is_match")
+            ).select("left_key", "right_key")
+            prior = self.clusters_state()
+            endpoints = (
+                new_edges.select(F.col("left_key").alias("entity_key"))
+                .unionByName(new_edges.select(F.col("right_key").alias("entity_key")))
+                .distinct()
+            )
+            touched_cids = (
+                prior.join(endpoints, "entity_key").select("cluster_id").distinct()
+            )
+            # materialize the touched-member set ONCE (it is batch-scaled):
+            # every downstream consumer (stars, CC probe/rounds, the delta
+            # assignment) would otherwise re-evaluate the prior-state
+            # overlay resolution per reference — and the overlay files of
+            # an already-written delta must never be an input of the write
+            # that replaces them (the reflect-sidecar heal path)
+            from ..functions.persist import materialize
+
+            members = materialize(prior.join(touched_cids, "cluster_id", "semi"))
+            stars = members.filter(
+                F.col("entity_key") != F.col("cluster_id")
+            ).select(
+                F.col("entity_key").alias("left_key"),
+                F.col("cluster_id").alias("right_key"),
+            )
+            comps = C.connected_components(stars.unionByName(new_edges))
+            batch_ents = spark.read.parquet(
+                *[
+                    os.path.join(self._batch_dir(b), "entities_distinct")
+                    for b in missing
+                ]
+            ).select("entity_key")
+            touched_entities = members.select("entity_key").unionByName(batch_ents)
+            delta = C.assign_clusters(touched_entities, comps)
+            W.write_stage(
+                delta, os.path.join(self._batch_dir(missing[-1]), "clusters_delta")
+            )
+            self._write_clusters_reflect(committed)
         else:
+            # no usable prior assignment (fresh state or unknown provenance):
+            # full rebuild from the scored-edge log into the base stage
             edges = self._read_state("scoring").filter(
                 (F.col("pair_kind") == "self") & F.col("is_match")
             ).select("left_key", "right_key")
-        comps = C.connected_components(edges)
-        all_distinct = self._read_state("entities_distinct")
-        clusters = C.assign_clusters(all_distinct, comps)
-        W.write_stage(clusters, clusters_path)
-        self._write_clusters_reflect(committed)
+            comps = C.connected_components(edges)
+            all_distinct = self._read_state("entities_distinct")
+            clusters = C.assign_clusters(all_distinct, comps)
+            W.write_stage(clusters, clusters_path)
+            self._write_clusters_reflect(committed)

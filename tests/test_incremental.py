@@ -91,7 +91,7 @@ def test_streaming_ingest_equals_full_run(spark, bundle, tmp_path):
     full = ReconPipeline(spark, cfg2).run(t, bundle["dictionary"])
     got = {
         r.entity_key: r.cluster_id
-        for r in spark.read.parquet(f"{work}/j/stage_clusters").collect()
+        for r in IncrementalRecon(spark, work, "j").clusters_state().collect()
     }
     want = {r.entity_key: r.cluster_id for r in full["clusters"].collect()}
     assert got == want
@@ -315,9 +315,7 @@ def test_compaction_preserves_state_and_drops_batch_dirs(spark, bundle, tmp_path
     assert inc.committed_batches() == ["b0", "b1"]
 
     before = _state_rows(spark, work)
-    clusters_before = sorted(
-        map(tuple, spark.read.parquet(f"{work}/j/stage_clusters").collect())
-    )
+    clusters_before = sorted(map(tuple, inc.clusters_state().collect()))
 
     cid = inc.compact()
     assert cid == "compact000000"
@@ -325,9 +323,7 @@ def test_compaction_preserves_state_and_drops_batch_dirs(spark, bundle, tmp_path
     assert not os.path.isdir(f"{work}/j/batches/b0")
     assert not os.path.isdir(f"{work}/j/batches/b1")
     assert _state_rows(spark, work) == before
-    clusters_after = sorted(
-        map(tuple, spark.read.parquet(f"{work}/j/stage_clusters").collect())
-    )
+    clusters_after = sorted(map(tuple, inc.clusters_state().collect()))
     assert clusters_after == clusters_before
 
     # compact of a single consolidated dir is a no-op
@@ -769,6 +765,76 @@ def test_incremental_best_redelivery_noop_and_compaction(spark, bundle, tmp_path
     ghost = inc.ingest_batch(b2, bundle["dictionary"], batch_id="k2")
     assert ghost["new_best"].count() == 0
     assert sorted(map(tuple, inc.best_matches().collect())) == before
+
+
+def test_cluster_refresh_writes_touched_overlay_not_corpus(spark, bundle, tmp_path):
+    """Round-5 verdict item 1: a per-batch cluster refresh must write an
+    overlay that scales with the batch's touched components — and must
+    never rewrite the bootstrap clusters stage. Proven two ways: the base
+    stage is file-level bit-untouched by the ingest, and the written delta
+    holds (touched members + the batch's new entities) rows, far below the
+    corpus count."""
+    import os
+
+    from metadata_reconciliation_tool_spark.plans.incremental import IncrementalRecon
+    from metadata_reconciliation_tool_spark.plans.pipeline import (
+        ReconConfig,
+        ReconPipeline,
+    )
+
+    t = bundle["transcripts"]
+    # bootstrap on most of the corpus, ingest a smaller slice
+    big = t.filter(F.crc32(F.col("conv_id")) % 3 != 0)
+    small = t.filter(F.crc32(F.col("conv_id")) % 3 == 0)
+
+    work = str(tmp_path / "inc")
+    cfg = ReconConfig(job_id="j", work_dir=work, force=True, collect_metrics=False)
+    ReconPipeline(spark, cfg).run(big, bundle["dictionary"])
+    corpus_rows = spark.read.parquet(f"{work}/j/stage_clusters").count()
+
+    base_snap = _dir_snapshot(f"{work}/j/stage_clusters")
+    inc = IncrementalRecon(spark, work, "j")
+    out = inc.ingest_batch(small, bundle["dictionary"])
+    n_new = out["new_entities"].count()
+    assert n_new > 0
+
+    # the base stage was not rewritten — byte-identical files
+    assert _dir_snapshot(f"{work}/j/stage_clusters") == base_snap
+
+    # the overlay exists and is batch-scaled: every row is either a new
+    # entity or a member of a component touched by the batch's match edges
+    delta_path = f"{work}/j/batches/b0/clusters_delta"
+    assert os.path.isdir(delta_path)
+    delta = spark.read.parquet(delta_path)
+    n_delta = delta.count()
+    assert n_delta < corpus_rows
+    edges = out["new_scores"].filter("pair_kind = 'self' and is_match")
+    endpoints = {r.left_key for r in edges.collect()} | {
+        r.right_key for r in edges.collect()
+    }
+    prior = {
+        r.entity_key: r.cluster_id
+        for r in spark.read.parquet(f"{work}/j/stage_clusters").collect()
+    }
+    touched_cids = {prior[k] for k in endpoints if k in prior}
+    touched_members = {k for k, c in prior.items() if c in touched_cids}
+    new_keys = {r.entity_key for r in out["new_entities"].collect()}
+    allowed = touched_members | new_keys
+    got_keys = {r.entity_key for r in delta.collect()}
+    assert got_keys <= allowed
+    assert new_keys <= got_keys  # every new entity got an assignment row
+
+    # and the resolved view equals a full run over everything
+    full = ReconPipeline(
+        spark,
+        ReconConfig(
+            job_id="j", work_dir=str(tmp_path / "full"), force=True,
+            collect_metrics=False,
+        ),
+    ).run(t, bundle["dictionary"])
+    got = {r.entity_key: r.cluster_id for r in out["clusters"].collect()}
+    want = {r.entity_key: r.cluster_id for r in full["clusters"].collect()}
+    assert got == want
 
 
 def test_persisted_scores_policy_inherited_by_ingest(spark, bundle, tmp_path):
