@@ -477,7 +477,17 @@ def self_candidates(
     surv = fk.groupBy("id").agg(
         F.bit_or(F.expr("shiftleft(1L, key_idx)")).alias("_alive")
     )
-    fk = fk.join(_maybe_broadcast(surv, frames_small), "id")
+    # MATERIALIZE the keyed frame once (round 6, measured at local[8]:
+    # end-to-end 72.9 → 60.6 s): the lazy fk subtree — whose f branch
+    # carries the two per-entity pandas UDFs and the key explode — is
+    # referenced by surv, left AND right, so the un-materialized plan
+    # recomputed it three times per run and the optimizer re-planned all
+    # three embedded copies (driver planning 2.3 → 0.26 s). The frame is
+    # entity-key-scale (rows × ~18 keys), far below pair scale; the
+    # checkpoint mode trade is functions/persist.materialize's.
+    from ..functions.persist import materialize
+
+    fk = materialize(fk.join(_maybe_broadcast(surv, frames_small), "id"))
     left = fk.select(
         "block_pass",
         "block_key",
