@@ -91,6 +91,19 @@ def add_block_keys(
     t = F.col(type_col)
     return (
         df.withColumn("_token_sorted", sorted_name)
+        # distinct-token array computed ONCE PER ENTITY ROW and carried
+        # through the pair join (round 6, measured): scoring derived it
+        # per PAIR (split + array_remove + array_distinct × 2 sides ×
+        # 34M pairs ≈ 11 s of the sf0.1 local[8] scoring wall); the join
+        # inputs are entity×key scale (~20× smaller), so precomputing
+        # here trades a few bytes of join-input width for the whole
+        # per-pair array-construction bill
+        .withColumn(
+            "_toks",
+            F.array_distinct(
+                F.array_remove(F.split(F.col("_token_sorted"), " "), "")
+            ),
+        )
         .withColumn(
             "block_prefix",
             F.concat_ws(":", t, F.substring(F.col("_token_sorted"), 1, PREFIX_LEN)),
@@ -298,6 +311,7 @@ def dictionary_candidates(
         {
             "left_name": "norm_name",
             "left_sorted": "_token_sorted",
+            "left_toks": "_toks",
             # this side's pass keys in compact form (prefix/metaphone
             # strings + 8-byte band signatures) — the local dedup filter
             # below picks the best shared key without any pair-level
@@ -323,6 +337,7 @@ def dictionary_candidates(
         "right_name": "norm_label",
         "right_description": "description",
         "right_sorted": "_token_sorted",
+        "right_toks": "_toks",
         "_r_bp": "block_prefix",
         "_r_bm": "block_metaphone",
         "_r_sig": "block_sig",
@@ -338,7 +353,7 @@ def dictionary_candidates(
     out_cols = [
         "left_key", "right_key", "block_pass", "block_key",
         "left_name", "right_name", "right_description",
-        "left_sorted", "right_sorted",
+        "left_sorted", "right_sorted", "left_toks", "right_toks",
         *[f"right_{c}" for c in source_cols],
     ]
     if broadcast is None:
@@ -439,6 +454,7 @@ def self_candidates(
         {
             "nm": "norm_name",
             "srt": "_token_sorted",
+            "tk": "_toks",
             "_bp": "block_prefix",
             "_bm": "block_metaphone",
             "_sig": "block_sig",
@@ -496,6 +512,7 @@ def self_candidates(
         F.col("id").alias("left_key"),
         F.col("nm").alias("left_name"),
         F.col("srt").alias("left_sorted"),
+        F.col("tk").alias("left_toks"),
         F.col("_bp").alias("_l_bp"),
         F.col("_bm").alias("_l_bm"),
         F.col("_sig").alias("_l_sig"),
@@ -508,6 +525,7 @@ def self_candidates(
         F.col("id").alias("right_key"),
         F.col("nm").alias("right_name"),
         F.col("srt").alias("right_sorted"),
+        F.col("tk").alias("right_toks"),
         F.col("_bp").alias("_r_bp"),
         F.col("_bm").alias("_r_bm"),
         F.col("_sig").alias("_r_sig"),
@@ -521,7 +539,7 @@ def self_candidates(
         "left_key", "right_key", "block_pass", "block_key",
         "left_name", "right_name",
         F.lit(None).cast("string").alias("right_description"),
-        "left_sorted", "right_sorted",
+        "left_sorted", "right_sorted", "left_toks", "right_toks",
     )
     return pairs, dropped
 
@@ -555,10 +573,14 @@ def asymmetric_candidates(
     Returns (pairs, dropped_blocks_metrics); pairs are canonicalized
     (left_key < right_key) and first-wins deduped across passes."""
     f_new = _pass_keys(
-        new_keyed, "entity_key", {"nm": "norm_name", "srt": "_token_sorted"}
+        new_keyed,
+        "entity_key",
+        {"nm": "norm_name", "srt": "_token_sorted", "tk": "_toks"},
     )
     f_all = _pass_keys(
-        all_keyed, "entity_key", {"nm": "norm_name", "srt": "_token_sorted"}
+        all_keyed,
+        "entity_key",
+        {"nm": "norm_name", "srt": "_token_sorted", "tk": "_toks"},
     )
     # every broadcast here is of a BATCH-key-derived frame (the block-key
     # semi-join probe and the two salt-map attaches below) — small for
@@ -592,6 +614,7 @@ def asymmetric_candidates(
         F.col("id").alias("a_key"),
         F.col("nm").alias("a_name"),
         F.col("srt").alias("a_sorted"),
+        F.col("tk").alias("a_toks"),
     )
     replicated_new = f_new.join(
         _maybe_broadcast(
@@ -605,6 +628,7 @@ def asymmetric_candidates(
         F.col("id").alias("n_key"),
         F.col("nm").alias("n_name"),
         F.col("srt").alias("n_sorted"),
+        F.col("tk").alias("n_toks"),
     )
     joined = replicated_new.join(
         salted_all, ["block_pass", "block_key", "salt"]
@@ -622,6 +646,8 @@ def asymmetric_candidates(
         F.lit(None).cast("string").alias("right_description"),
         F.when(flip, F.col("a_sorted")).otherwise(F.col("n_sorted")).alias("left_sorted"),
         F.when(flip, F.col("n_sorted")).otherwise(F.col("a_sorted")).alias("right_sorted"),
+        F.when(flip, F.col("a_toks")).otherwise(F.col("n_toks")).alias("left_toks"),
+        F.when(flip, F.col("n_toks")).otherwise(F.col("a_toks")).alias("right_toks"),
     )
     return dedup_pairs(pairs), dropped
 

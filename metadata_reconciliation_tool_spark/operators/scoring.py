@@ -145,12 +145,26 @@ def score_pairs(
         named_pairs = named_pairs.withColumn(
             "_ls", token_sort(F.col("left_name"))
         ).withColumn("_rs", token_sort(F.col("right_name")))
-    # distinct-token arrays from the already-sorted forms: split on single
-    # space (no regex), already deduped-adjacent — array_distinct still
-    # needed for repeated tokens but no second regex pass
-    named_pairs = named_pairs.withColumn(
-        "_lt", F.array_distinct(F.array_remove(F.split(F.col("_ls"), " "), ""))
-    ).withColumn("_rt", F.array_distinct(F.array_remove(F.split(F.col("_rs"), " "), "")))
+    if "left_toks" in named_pairs.columns:
+        # blocking computed the distinct-token arrays ONCE per entity row
+        # and carried them through the pair join (round 6): reusing them
+        # here removes the per-pair split + array_remove + array_distinct
+        # (×2 sides × every pair — measured ~11 s of the sf0.1 local[8]
+        # scoring wall). The carried value is the identical expression
+        # over the identical token-sorted string.
+        named_pairs = named_pairs.withColumnRenamed(
+            "left_toks", "_lt"
+        ).withColumnRenamed("right_toks", "_rt")
+    else:
+        # distinct-token arrays from the already-sorted forms: split on
+        # single space (no regex), already deduped-adjacent —
+        # array_distinct still needed for repeated tokens but no second
+        # regex pass
+        named_pairs = named_pairs.withColumn(
+            "_lt", F.array_distinct(F.array_remove(F.split(F.col("_ls"), " "), ""))
+        ).withColumn(
+            "_rt", F.array_distinct(F.array_remove(F.split(F.col("_rs"), " "), ""))
+        )
     # ONE token-set intersect per pair (round 6): jaccard and the F7
     # formula both need |A ∩ B| and |A ∪ B|; the intersect is computed
     # into a shared column and the union is the exact integer

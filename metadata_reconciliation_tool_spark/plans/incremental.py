@@ -461,16 +461,26 @@ class IncrementalRecon:
         )
 
         nkeyed = B.add_block_keys(new_distinct)
-        dkeyed = B.add_block_keys(E.prepare_dictionary(dictionary), "norm_label")
+        dprep = E.prepare_dictionary(dictionary)
         # new ↔ dictionary; the broadcast-gate probe runs once per DISTINCT
         # dictionary plan, not once per ingest — the common stable-dictionary
-        # job pays one probe, a swapped dictionary re-probes (ADVICE r4 low)
+        # job pays one probe, a swapped dictionary re-probes (ADVICE r4 low).
+        # Probed on the PREPARED frame (pre-keys): add_block_keys is a
+        # row-preserving projection, so the count gate is identical to the
+        # former keyed-frame probe while skipping its per-row UDF work.
         dict_id = dictionary.semanticHash()
         if dict_id not in self._dict_broadcast:
             self._dict_broadcast[dict_id] = (
-                dkeyed.limit(B.DICT_BROADCAST_MAX_ROWS + 1).count()
+                dprep.limit(B.DICT_BROADCAST_MAX_ROWS + 1).count()
                 <= B.DICT_BROADCAST_MAX_ROWS
             )
+        if self._dict_broadcast[dict_id]:
+            # same single-task pathology/fix as ReconPipeline.blocking: the
+            # A3 window's tiny shuffle AQE-coalesces to one partition and
+            # the key UDFs serialize; the explicit repartition fans them
+            # out, gated on the broadcast verdict
+            dprep = dprep.repartition(spark.sparkContext.defaultParallelism)
+        dkeyed = B.add_block_keys(dprep, "norm_label")
         dict_pairs = B.dictionary_candidates(
             nkeyed, dkeyed, broadcast=self._dict_broadcast[dict_id]
         ).withColumn("pair_kind", F.lit("dict"))

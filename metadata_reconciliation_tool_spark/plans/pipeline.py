@@ -239,15 +239,30 @@ class ReconPipeline:
         still works — a crash during scoring reruns blocking as part of the
         scoring recompute, deterministically."""
         ekeyed = B.add_block_keys(distinct)
-        # multi-source union semantics: default source + per-(norm_label,
-        # source) A3 dedup (reconciliation_engine.py:388-437)
-        dkeyed = B.add_block_keys(E.prepare_dictionary(dictionary), "norm_label")
 
         def compute():
+            # multi-source union semantics: default source + per-(norm_label,
+            # source) A3 dedup (reconciliation_engine.py:388-437)
+            dprep = E.prepare_dictionary(dictionary)
+            dict_small = self._dict_small(dictionary)
+            if dict_small:
+                # the A3 dedup window shuffles the dictionary, AQE coalesces
+                # the (small) shuffle to ONE partition, and add_block_keys'
+                # two pandas UDFs then run single-threaded — a measured
+                # ~2.4 s single-task job on every run at every core count
+                # (round 6, the pipeline's largest fixed serial slice). An
+                # explicit-count repartition (explicit so AQE cannot
+                # re-coalesce it) fans the UDF work out; gated on the
+                # broadcast verdict so a huge dictionary — whose shuffle AQE
+                # already sizes properly — never pays an extra shuffle.
+                dprep = dprep.repartition(
+                    self.spark.sparkContext.defaultParallelism
+                )
+            dkeyed = B.add_block_keys(dprep, "norm_label")
             dict_pairs = B.dictionary_candidates(
                 ekeyed,
                 dkeyed,
-                broadcast=self._dict_small(dictionary),
+                broadcast=dict_small,
                 # observed on the distinct stage write — feeds the
                 # broadcast path's pair-task balance gate without a probe
                 entity_rows=self.stage_rows.get("entities_distinct"),

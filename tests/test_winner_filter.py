@@ -98,8 +98,17 @@ def _old_self(e, cap):
 
 
 def _assert_frames_equal(a, b):
+    """b (the production frame) must equal the spec frame a on the spec's
+    columns; the only allowed extras are the round-6 carried token arrays,
+    whose values must equal the split-derivation scoring used to compute
+    per pair (checked row-wise below, since list cells don't sort)."""
     cols = sorted(a.columns)
-    assert sorted(b.columns) == cols
+    extras = set(b.columns) - set(a.columns)
+    assert extras <= {"left_toks", "right_toks"}
+    for side in extras:
+        srt = "left_sorted" if side == "left_toks" else "right_sorted"
+        derived = F.array_distinct(F.array_remove(F.split(F.col(srt), " "), ""))
+        assert b.filter(F.col(side) != derived).count() == 0
     pa = a.select(*cols).toPandas().sort_values(cols).reset_index(drop=True)
     pb = b.select(*cols).toPandas().sort_values(cols).reset_index(drop=True)
     pd.testing.assert_frame_equal(pa, pb)
