@@ -108,7 +108,18 @@ def _local_finish(e: DataFrame) -> DataFrame:
             rs, rd = rd, rs
         parent[rd] = rs  # min string becomes the root
     rows = [(x, find(x)) for x in parent]
-    return spark.createDataFrame(rows, "entity_key string, cluster_id string")
+    # Arrow-backed local relation (round 6): the former list-of-tuples
+    # createDataFrame converted 10⁴-10⁵ rows one by one on the driver and
+    # produced a PICKLED relation whose every downstream scan paid a
+    # Python-worker round trip (profiled as run≫cpu blocked-wait tasks in
+    # the clusters write). The pandas path converts columnar via Arrow and
+    # scans JVM-side — same rows, same schema.
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["entity_key", "cluster_id"]),
+        "entity_key string, cluster_id string",
+    )
 
 
 # collect ≤ this many edges to the driver and finish locally; 0 disables.
