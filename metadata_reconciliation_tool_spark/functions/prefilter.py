@@ -118,35 +118,50 @@ def make_na_upper_bound_vectorized():
     profiling put at ~8 µs/pair — ~37% of the engine's TOTAL parallel
     cpu·s at sf0.1 (the single largest component; BENCH.md round 5).
 
-    Structure (two phases per batch):
+    Round 6 rewrite (measured: 3.4 → 1.7 µs/pair on the real 34M-pair
+    bench stream, mismatches 0): the former PER-PAIR Python loop that
+    built the alignment structure (small/big assignment, common-token
+    exclusion, flat combo table) was ~78% of the bound's cost — pure
+    bookkeeping, no arithmetic. It is replaced by a DENSE formulation
+    over fixed-width slot matrices:
 
-    1. a Python pass over the pairs builds the alignment STRUCTURE —
-       per-name filtered-token lists, the small/big assignment, the
-       common-token exclusion, and a flat (token, candidate) combo table —
-       through per-batch name/token memo dicts (names and tokens recur
-       across a batch's pairs by block-locality: blocking emits one pair
-       row per candidate, so each entity's name recurs across all its
-       candidates and a block's pairs land in the same shuffle partition);
-    2. numpy evaluates every combo's token bound in one vectorized sweep:
-       the Jaro match-count ceiling ``|set(t) ∩ set(u)|`` becomes a
-       popcount over 63-bit char masks (the char→bit map is built per
-       evaluator and INJECTIVE by construction — a 64th distinct character
-       routes its tokens through the exact scalar fallback, so collisions
-       can never loosen or tighten the bound), the Winkler prefix length
-       becomes four padded char-code column compares, and the per-token /
-       per-pair max-mean-min reductions run as ``ufunc.reduceat`` over the
-       pair-ordered flat table (segments are ≤ tokens-per-name, far below
-       numpy's pairwise-summation block, so float addition order matches
-       the scalar left-to-right ``sum``).
+    1. names → info ids via ``pd.factorize`` (one C pass per column; the
+       Python memo is consulted once per UNIQUE name per batch, not once
+       per row). Per-info attributes (≤``_MAXD`` distinct filtered-token
+       ids padded with -1, token counts, has-duplicates, fallback flag)
+       live in append-only arrays mirrored to numpy when they grow.
+    2. pair-level structure as (m, D, D) boolean algebra: slot equality
+       (pad-safe via validity masks) gives the common-token masks; the
+       combo table (small-side non-common × residual) falls out of
+       ``np.nonzero`` on the mask product — no per-pair Python at all.
+    3. the per-combo token bound is numpy, unchanged from round 5: char
+       intersection as a popcount over 63-bit char masks (char→bit map
+       INJECTIVE by construction — a 64th distinct character routes the
+       whole pair through the exact scalar fallback, so collisions can
+       never loosen or tighten the bound), Winkler prefix via padded
+       char-code column compares.
+    4. reductions: per-(pair, slot) max via ``maximum.reduceat`` over the
+       nonempty segments (max is order-independent; empty slots keep the
+       scalar path's 0.0); the per-pair sum runs as a SLOT-ORDER masked
+       column accumulation — adding +0.0 for masked-out slots to a
+       nonnegative accumulator is the IEEE identity, so the result is
+       bit-identical to the scalar left-to-right ``sum`` (ubs ∈ [0, 1];
+       the accumulator never holds -0.0). Weakest is a masked ``min``.
+
+    Pairs that the dense path cannot represent — a side with more than
+    ``_MAXD`` distinct tokens, or any token whose chars overflow the
+    63-bit map — are routed whole to :func:`na_upper_bound_py` (the
+    executable spec; value-identical by the parity contract, fuzz-pinned
+    including >63-char alphabets). Zero-token sides yield 0.0 exactly as
+    the spec does.
 
     Float parity notes: every arithmetic expression keeps the scalar
     code's operation order, all in float64 — elementwise numpy IEEE ops
     are bit-identical to CPython's. ``t == u`` combos are unreachable
-    (every t ∈ small_nc has t ∉ set(big) while candidates come from big),
-    and a residual with duplicate tokens is deduplicated before the max —
-    a pure speed change, the max is value-identical.
+    (every t ∈ small_nc has t ∉ set(big) while candidates come from big).
     """
     import numpy as np
+    import pandas as pd
 
     titles = _TITLES
     char_bits: dict[str, int] = {}
@@ -159,7 +174,6 @@ def make_na_upper_bound_vectorized():
     t_mask: list[int] = []
     t_ovf: list[bool] = []  # True → token has a char beyond the 63-bit map
     t_c4: list[tuple[int, int, int, int]] = []  # first 4 char codes, pad -1
-    name_info: dict[str, tuple] = {}
 
     def tok_id(t: str) -> int:
         tid = tok_ids.get(t)
@@ -187,72 +201,99 @@ def make_na_upper_bound_vectorized():
             t_c4.append(tuple(cs + [-1] * (4 - len(cs))))
         return tid
 
-    def prep_name(name: str) -> tuple:
-        info = name_info.get(name)
-        if info is None:
+    # name-level info, grown append-only; index = info id
+    info_ids: dict[str, int] = {}
+    i_tok: list[tuple] = []  # _MAXD dedup token ids, padded with -1
+    i_nd: list[int] = []  # distinct filtered tokens
+    i_ns: list[int] = []  # filtered tokens INCLUDING duplicates
+    i_dup: list[bool] = []  # ns != nd (big-side exclusion gate)
+    i_bad: list[bool] = []  # scalar fallback: nd > _MAXD or overflow token
+    arrs: dict = {"n": 0}  # numpy mirrors, rebuilt when infos grew
+
+    def info_id(name: str) -> int:
+        iid = info_ids.get(name)
+        if iid is None:
+            iid = len(i_nd)
+            info_ids[name] = iid
             tids = [tok_id(t) for t in name.split() if t not in titles]
-            tset = set(tids)
-            info = (tids, tset, tuple(dict.fromkeys(tids)))
-            name_info[name] = info
-        return info
+            dd = tuple(dict.fromkeys(tids))
+            nd = len(dd)
+            i_nd.append(nd)
+            i_ns.append(len(tids))
+            i_dup.append(nd != len(tids))
+            i_bad.append(nd > _MAXD or any(t_ovf[t] for t in dd))
+            if nd > _MAXD:
+                dd = dd[:_MAXD]
+            i_tok.append(dd + (-1,) * (_MAXD - nd))
+        return iid
+
+    def sync():
+        # a new token can only arrive via a new name, so the info count
+        # covers token-array growth too
+        if arrs["n"] != len(i_nd):
+            arrs["tok"] = np.asarray(i_tok, dtype=np.int64)
+            arrs["nd"] = np.asarray(i_nd, dtype=np.int64)
+            arrs["ns"] = np.asarray(i_ns, dtype=np.int64)
+            arrs["dup"] = np.asarray(i_dup, dtype=bool)
+            arrs["bad"] = np.asarray(i_bad, dtype=bool)
+            arrs["tlen"] = np.asarray(t_len, dtype=np.int64)
+            arrs["tdl"] = np.asarray(t_dlen, dtype=np.int64)
+            arrs["tmask"] = np.asarray(t_mask, dtype=np.uint64)
+            arrs["tc4"] = np.asarray(t_c4, dtype=np.int64)
+            arrs["n"] = len(i_nd)
 
     def evaluate(names1: list, names2: list) -> "np.ndarray":
         n = len(names1)
-        out = np.empty(n, dtype=np.float64)
-        # flat combo table + segment offsets
-        combo_t: list[int] = []  # token id of the small_nc token
-        combo_u: list[int] = []  # token id of the residual candidate
-        tok_seg: list[int] = []  # combo-start offset per small_nc token
-        pair_idx: list[int] = []  # row index of each structured pair
-        pair_ns: list[int] = []
-        pair_nc: list[int] = []  # len(small_nc)
-        pair_extra: list[int] = []
-        for i in range(n):
-            ta, sa, da = prep_name(names1[i] or "")
-            tb, sb, db = prep_name(names2[i] or "")
-            if not ta or not tb:
-                out[i] = 0.0
-                continue
-            if len(ta) <= len(tb):
-                s_small, d_small, big, s_big, d_big = sa, da, tb, sb, db
-                ns, nb = len(ta), len(tb)
-            else:
-                s_small, d_small, big, s_big, d_big = sb, db, ta, sa, da
-                ns, nb = len(tb), len(ta)
-            small_nc = [t for t in d_small if t not in s_big]
-            extra = nb - ns
-            if not small_nc:
-                # mean_ub = weakest = 1.0 → factor = 1.0 exactly
-                out[i] = 1.0 * max(0.0, 1.0 - 0.1 * extra)
-                continue
-            if len(s_big) == len(big):
-                # no duplicates in big → common values are provably
-                # consumed by exact pairs; u ∈ big is common iff its value
-                # appears in small
-                residual = [u for u in d_big if u not in s_small]
-            else:
-                residual = d_big  # tuple reused as-is — no per-pair copy
-            pair_idx.append(i)
-            pair_ns.append(ns)
-            pair_nc.append(len(small_nc))
-            pair_extra.append(extra)
-            for t in small_nc:
-                tok_seg.append(len(combo_t))
-                combo_t.extend([t] * len(residual))
-                combo_u.extend(residual)
-        if not pair_idx:
+        out = np.zeros(n, dtype=np.float64)  # zero-token rows stay 0.0
+        # ---- phase 0: names → info ids (C factorize + per-unique memo) --
+        codes1, uniq1 = pd.factorize(np.asarray(names1, dtype=object))
+        codes2, uniq2 = pd.factorize(np.asarray(names2, dtype=object))
+        map1 = np.fromiter((info_id(u) for u in uniq1), np.int64, len(uniq1))
+        map2 = np.fromiter((info_id(u) for u in uniq2), np.int64, len(uniq2))
+        empty_id = info_id("")  # factorize sentinels (-1) are None names
+        ia = np.where(codes1 >= 0, map1[codes1], empty_id)
+        ib = np.where(codes2 >= 0, map2[codes2], empty_id)
+        sync()
+
+        ns_a, ns_b = arrs["ns"][ia], arrs["ns"][ib]
+        nonzero = (ns_a > 0) & (ns_b > 0)
+        bad = (arrs["bad"][ia] | arrs["bad"][ib]) & nonzero
+        for k in np.flatnonzero(bad).tolist():
+            out[k] = na_upper_bound_py(names1[k] or "", names2[k] or "")
+        di = np.flatnonzero(nonzero & ~bad)
+        if not di.size:
             return out
 
-        ct = np.asarray(combo_t, dtype=np.int64)
-        cu = np.asarray(combo_u, dtype=np.int64)
-        lt = np.asarray(t_len, dtype=np.int64)
-        dl = np.asarray(t_dlen, dtype=np.int64)
-        mk = np.asarray(t_mask, dtype=np.uint64)
-        c4 = np.asarray(t_c4, dtype=np.int64)
+        # ---- phase 1: dense structure over (m, D) slot matrices ---------
+        A = arrs["tok"][ia[di]]
+        B = arrs["tok"][ib[di]]
+        swap = ns_a[di] > ns_b[di]  # small = left iff len(ta) <= len(tb)
+        S = np.where(swap[:, None], B, A)
+        G = np.where(swap[:, None], A, B)
+        ns = np.where(swap, ns_b[di], ns_a[di])
+        nb = np.where(swap, ns_a[di], ns_b[di])
+        dup_g = np.where(swap, arrs["dup"][ia[di]], arrs["dup"][ib[di]])
+        valid_s = S >= 0
+        valid_g = G >= 0
+        eq = (
+            (S[:, :, None] == G[:, None, :])
+            & valid_s[:, :, None]
+            & valid_g[:, None, :]
+        )
+        small_nc = valid_s & ~eq.any(axis=2)  # small values absent from big
+        # big slot is excluded from the residual iff big has no duplicates
+        # AND the value occurs in small (soundness point 2)
+        residual = valid_g & (dup_g[:, None] | ~eq.any(axis=1))
+        combo = small_nc[:, :, None] & residual[:, None, :]
+        pi, si, gi = np.nonzero(combo)
+        ct = S[pi, si]
+        cu = G[pi, gi]
+
+        # ---- phase 2: per-combo token bound (vectorized
+        # token_pair_upper_bound_py, unchanged from round 5) --------------
+        lt, dl, mk, c4 = arrs["tlen"], arrs["tdl"], arrs["tmask"], arrs["tc4"]
         lt_t, lt_u = lt[ct], lt[cu]
-        # --- inline token_pair_upper_bound_py, vectorized -----------------
-        inter_bits = mk[ct] & mk[cu]
-        inter = _popcount64(inter_bits)
+        inter = _popcount64(mk[ct] & mk[cu])
         m_ub = inter + np.minimum(lt_t - dl[ct], lt_u - dl[cu])
         j = np.minimum(
             (m_ub / lt_t + m_ub / lt_u + 1.0) / 3.0,
@@ -260,16 +301,16 @@ def make_na_upper_bound_vectorized():
             - np.maximum(np.abs(lt_t - lt_u), 1) / (3.0 * np.maximum(lt_t, lt_u)),
         )
         c4t, c4u = c4[ct], c4[cu]
-        eq = c4t == c4u
+        eqc = c4t == c4u
         # common prefix = leading run of equal real chars; pads are -1 on
         # both sides, but a pad-pad "match" can only start at position
         # min(lt, lu) — the clamp below removes it exactly. The leading-run
-        # length is a boolean AND-chain (round 6: ~2× cheaper than the
-        # former int64 cumprod over the combo table, same values).
-        run = eq[:, 0].copy()
+        # length is a boolean AND-chain (~2× cheaper than an int64 cumprod
+        # over the combo table, same values).
+        run = eqc[:, 0].copy()
         prefix_len = run.astype(np.int64)
         for col in range(1, 4):
-            run &= eq[:, col]
+            run &= eqc[:, col]
             prefix_len += run
         p = np.minimum(np.minimum(prefix_len, 4), np.minimum(lt_t, lt_u))
         w = 1.0 - (1.0 - j) * (1.0 - 0.1 * p)
@@ -279,54 +320,50 @@ def make_na_upper_bound_vectorized():
         if single.any():
             first_eq = c4t[:, 0] == c4u[:, 0]
             s = np.where(single, np.where(first_eq, 0.95, 0.0), s)
-        ovf = np.asarray(t_ovf, dtype=bool)
-        bad = ovf[ct] | ovf[cu]
-        if bad.any():
-            # exact scalar fallback for tokens whose chars overflowed the
-            # 63-bit map — popcount would otherwise UNDERcount the char
-            # intersection (unsound)
-            for k in np.flatnonzero(bad):
-                s[k] = token_pair_upper_bound_py(tok_strs[ct[k]], tok_strs[cu[k]])
-        # --- per-token max over residual, then per-pair mean/weakest ------
-        tok_off = np.asarray(tok_seg, dtype=np.int64)
-        ubs = np.maximum.reduceat(s, tok_off)  # max: order-independent
-        # per-pair sum/min in a scalar loop: np.add.reduceat's partial-sum
-        # order differs from Python's left-to-right sum() even on 3-element
-        # segments (measured: last-ULP drift on ~1% of pairs) and pruned
-        # rows emit the bound verbatim — exact addition order is part of
-        # the parity contract. Segments average ~1 token, the loop is
-        # noise next to the combo sweep above.
-        npair = len(pair_idx)
-        sum_ubs = np.empty(npair, dtype=np.float64)
-        weakest = np.empty(npair, dtype=np.float64)
-        ub_list = ubs.tolist()
-        pos = 0
-        for k in range(npair):
-            cnt = pair_nc[k]
-            acc = 0.0
-            w = ub_list[pos]
-            for j in range(pos, pos + cnt):
-                v = ub_list[j]
-                acc += v
-                if v < w:
-                    w = v
-            sum_ubs[k] = acc
-            weakest[k] = w
-            pos += cnt
-        ns_v = np.asarray(pair_ns, dtype=np.int64)
-        nc_v = np.asarray(pair_nc, dtype=np.int64)
-        mean_ub = ((ns_v - nc_v) + sum_ubs) / ns_v
+
+        # ---- reductions -------------------------------------------------
+        m = di.size
+        ub_mat = np.zeros((m, _MAXD), dtype=np.float64)
+        counts = combo.sum(axis=2).ravel()  # combos per (pair, small slot)
+        starts = np.zeros(counts.size, dtype=np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        nz = counts > 0
+        if nz.any():
+            # consecutive nonempty segments are adjacent in the flat combo
+            # order (empty segments occupy zero length), so reduceat over
+            # the nonempty starts reduces exactly each slot's combos; a
+            # small_nc slot with an EMPTY residual keeps ub = 0.0, the
+            # scalar path's value
+            ub_flat = ub_mat.ravel()
+            ub_flat[np.flatnonzero(nz)] = np.maximum.reduceat(s, starts[nz])
+            ub_mat = ub_flat.reshape(m, _MAXD)
+        acc = np.zeros(m, dtype=np.float64)
+        weakest = np.full(m, np.inf, dtype=np.float64)
+        for col in range(_MAXD):
+            mask = small_nc[:, col]
+            acc = acc + np.where(mask, ub_mat[:, col], 0.0)
+            weakest = np.minimum(weakest, np.where(mask, ub_mat[:, col], np.inf))
+        nc = small_nc.sum(axis=1)
+        # empty small_nc: the spec's mean_ub = weakest = 1.0 branch — the
+        # dense formula already yields mean_ub = ns/ns = 1.0; forcing
+        # weakest to 1.0 makes factor exactly 1.0 there too
+        weakest = np.where(nc > 0, weakest, 1.0)
+        mean_ub = ((ns - nc) + acc) / ns
         factor = np.where(
             weakest >= 0.9, 0.5 + 0.5 * weakest, 0.9 * weakest * weakest
         )
-        extra_v = np.asarray(pair_extra, dtype=np.int64)
-        out[np.asarray(pair_idx, dtype=np.int64)] = (
-            mean_ub * factor * np.maximum(0.0, 1.0 - 0.1 * extra_v)
-        )
+        extra = nb - ns
+        out[di] = mean_ub * factor * np.maximum(0.0, 1.0 - 0.1 * extra)
         return out
 
-    evaluate.n_names = lambda: len(name_info)
+    evaluate.n_names = lambda: len(info_ids)
     return evaluate
+
+
+# dense slots per side: names with more distinct (title-filtered) tokens
+# take the exact scalar path — dense cost grows O(_MAXD²) while the bench
+# name distribution averages ~2.1 tokens
+_MAXD = 4
 
 
 # Worker-cached evaluator (round 6, measured): the scoring UDF used to

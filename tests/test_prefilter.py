@@ -113,6 +113,47 @@ def test_vectorized_bound_bit_identical_to_spec():
     assert mism == [], f"vectorized evaluator diverged: {mism[:5]}"
 
 
+def test_vectorized_bound_dense_fallback_edges():
+    """Round-6 dense evaluator edge paths: names with MORE distinct tokens
+    than the dense slot width (_MAXD) must route to the exact scalar
+    fallback, None names must behave as empty strings (the factorize
+    sentinel path), and many-token × few-token mixes must stay
+    bit-identical to the spec inside one batch."""
+    import random
+
+    from metadata_reconciliation_tool_spark.functions.prefilter import (
+        _MAXD,
+        make_na_upper_bound_vectorized,
+        na_upper_bound_py,
+    )
+
+    rng = random.Random(41)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+             "theta", "al", "be", "ga", "x", "dr", "mr"]
+
+    def name(k_min: int, k_max: int) -> str:
+        k = rng.randint(k_min, k_max)
+        toks = rng.sample(words, min(k, len(words)))
+        if rng.random() < 0.3:
+            toks.append(rng.choice(toks))  # duplicate
+        return " ".join(sorted(toks))
+
+    pairs: list[tuple[str | None, str | None]] = []
+    for _ in range(3000):
+        # force plenty of sides past _MAXD distinct tokens
+        pairs.append((name(1, _MAXD + 3), name(1, _MAXD + 3)))
+    pairs += [(None, "alpha beta"), ("alpha", None), (None, None),
+              ("", "alpha"), (" ".join(words), "alpha")]
+    ev = make_na_upper_bound_vectorized()
+    got = ev([a for a, _ in pairs], [b for _, b in pairs])
+    mism = [
+        (a, b, na_upper_bound_py(a or "", b or ""), got[k])
+        for k, (a, b) in enumerate(pairs)
+        if na_upper_bound_py(a or "", b or "") != got[k]
+    ]
+    assert mism == [], f"dense evaluator diverged: {mism[:5]}"
+
+
 def test_popcount_table_fallback_matches_bitwise_count():
     """_popcount64 uses np.bitwise_count when available (numpy>=2) and a
     byte-table fallback otherwise; the fallback branch never runs in this
