@@ -243,23 +243,39 @@ def make_na_upper_bound_vectorized():
             arrs["n"] = len(i_nd)
 
     def evaluate(names1: list, names2: list) -> "np.ndarray":
-        n = len(names1)
-        out = np.zeros(n, dtype=np.float64)  # zero-token rows stay 0.0
         # ---- phase 0: names → info ids (C factorize + per-unique memo) --
         codes1, uniq1 = pd.factorize(np.asarray(names1, dtype=object))
         codes2, uniq2 = pd.factorize(np.asarray(names2, dtype=object))
+        return evaluate_encoded(codes1, list(uniq1), codes2, list(uniq2))
+
+    def evaluate_encoded(codes1, uniq1: list, codes2, uniq2: list) -> "np.ndarray":
+        """Same bound over pre-dictionary-encoded name columns (codes are
+        int arrays indexing the unique lists; negative code = null name).
+        The Arrow scoring UDF encodes via ``pyarrow.compute
+        .dictionary_encode`` (C++), so only UNIQUE names ever exist as
+        Python strings; values are identical to :func:`evaluate` — the
+        factorize path above is the same codes/uniques by construction."""
+        n = len(codes1)
+        out = np.zeros(n, dtype=np.float64)  # zero-token rows stay 0.0
         map1 = np.fromiter((info_id(u) for u in uniq1), np.int64, len(uniq1))
         map2 = np.fromiter((info_id(u) for u in uniq2), np.int64, len(uniq2))
-        empty_id = info_id("")  # factorize sentinels (-1) are None names
+        empty_id = info_id("")  # encode sentinels (<0) are None names
         ia = np.where(codes1 >= 0, map1[codes1], empty_id)
         ib = np.where(codes2 >= 0, map2[codes2], empty_id)
+        # scalar-fallback rows need the actual strings back (bounded: only
+        # rows whose structure the dense path cannot represent)
+        def name_at(codes, uniq, k):
+            c = codes[k]
+            return uniq[c] if c >= 0 else None
         sync()
 
         ns_a, ns_b = arrs["ns"][ia], arrs["ns"][ib]
         nonzero = (ns_a > 0) & (ns_b > 0)
         bad = (arrs["bad"][ia] | arrs["bad"][ib]) & nonzero
         for k in np.flatnonzero(bad).tolist():
-            out[k] = na_upper_bound_py(names1[k] or "", names2[k] or "")
+            out[k] = na_upper_bound_py(
+                name_at(codes1, uniq1, k) or "", name_at(codes2, uniq2, k) or ""
+            )
         di = np.flatnonzero(nonzero & ~bad)
         if not di.size:
             return out
@@ -357,6 +373,7 @@ def make_na_upper_bound_vectorized():
         return out
 
     evaluate.n_names = lambda: len(info_ids)
+    evaluate.evaluate_encoded = evaluate_encoded
     return evaluate
 
 

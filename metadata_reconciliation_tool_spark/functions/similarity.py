@@ -583,6 +583,91 @@ def make_scoring_batteries_udf(cutoff: float):
     return F.pandas_udf(fn, _SCORING_BATTERIES_SCHEMA)
 
 
+def make_scoring_batteries_arrow_udf(cutoff: float):
+    """Arrow-native twin of :func:`make_scoring_batteries_udf` (round 6,
+    guide §4.1/§4.2): the same fused bound+kernels, but the 34M-pair name
+    columns never materialize as per-row Python strings. ``pyarrow.compute
+    .dictionary_encode`` (C++) maps each batch's names to (codes, uniques);
+    only the UNIQUE names become Python strings (for the worker-cached
+    structure memo), the bound evaluates over the codes
+    (prefilter.evaluate_encoded), and the outputs return as numpy-backed
+    Arrow arrays with explicit null masks — no pandas object columns on
+    either side of the boundary. Values are identical to the pandas twin
+    (parity-pinned in tests/test_prefilter.py):
+
+    - the prune rule evaluates the bound for EVERY non-equal pair exactly
+      as before; equal-name pairs are excluded from pruning by the same
+      ``ls != rs`` rule, computed as an Arrow kernel (null names compare
+      equal iff both null — Python ``None != None`` is False);
+    - the kernels run per surviving row with strings rebuilt from the
+      unique lists (only ~3.5% of rows, exactly the rows the pandas twin
+      materializes anyway).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .prefilter import get_na_upper_bound_evaluator
+
+    can_prune = cutoff > 0.0
+
+    def _codes_uniq(arr: "pa.Array"):
+        enc = pc.dictionary_encode(arr)
+        codes = pc.fill_null(enc.indices, -1).to_numpy(zero_copy_only=False)
+        return codes.astype(np.int64, copy=False), enc.dictionary.to_pylist()
+
+    def fn(s1, s2, tlr, wc, boost):
+        if isinstance(s1, pa.ChunkedArray):  # defensive: combine per-batch
+            s1, s2, tlr, wc, boost = (
+                x.combine_chunks() for x in (s1, s2, tlr, wc, boost)
+            )
+        n = len(s1)
+        codes1, uniq1 = _codes_uniq(s1)
+        codes2, uniq2 = _codes_uniq(s2)
+        # a == b with Python None semantics: None == None is True
+        eq = pc.or_kleene(
+            pc.equal(s1, s2), pc.and_(pc.is_null(s1), pc.is_null(s2))
+        )
+        eq_np = pc.fill_null(eq, False).to_numpy(zero_copy_only=False)
+        tlr_v = pc.fill_null(tlr, float("nan")).to_numpy(zero_copy_only=False)
+        wc_v = pc.fill_null(wc, float("nan")).to_numpy(zero_copy_only=False)
+        boost_v = pc.fill_null(boost, 0.0).to_numpy(zero_copy_only=False)
+        jw = np.ones(n, dtype=np.float64)
+        al = np.ones(n, dtype=np.float64)
+        ub = np.zeros(n, dtype=np.float64)
+        pruned = np.zeros(n, dtype=bool)
+        if can_prune and n:
+            bounds = get_na_upper_bound_evaluator().evaluate_encoded(
+                codes1, uniq1, codes2, uniq2
+            )
+            # same IEEE op order as the JVM composite expression; equal
+            # pairs never prune (the JVM's exact-equality branch scores
+            # them 1.0 regardless of the kernels)
+            blend = 0.55 * bounds + 0.25 * tlr_v + 0.2 * wc_v
+            pruned = (np.minimum(blend + boost_v, 1.0) < cutoff) & ~eq_np
+            ub = bounds
+        for i in np.flatnonzero(~pruned).tolist():
+            c1, c2 = codes1[i], codes2[i]
+            a = uniq1[c1] if c1 >= 0 else None
+            b = uniq2[c2] if c2 >= 0 else None
+            if eq_np[i] and a and any(t not in _TITLES for t in a.split()):
+                continue  # identical, non-title token: exact (1.0, 1.0)
+            jw[i] = jaro_winkler_py(a or "", b or "")
+            al[i] = name_align_py(a, b)
+        return pa.StructArray.from_arrays(
+            [
+                pa.array(jw, type=pa.float64(), mask=pruned),
+                pa.array(al, type=pa.float64(), mask=pruned),
+                pa.array(ub, type=pa.float64(), mask=~pruned),
+                pa.array(pruned),
+            ],
+            names=["jaro_winkler", "name_align", "na_ub", "pruned"],
+        )
+
+    from pyspark.sql.functions import ArrowUDFType, arrow_udf
+
+    return arrow_udf(fn, _SCORING_BATTERIES_SCHEMA, ArrowUDFType.SCALAR)
+
+
 def surname_key_py(norm_name: str) -> str:
     """Phonetic blocking key: metaphone of the longest token (surname-ish).
 

@@ -23,7 +23,7 @@ from ..functions.confidence import (
     wikidata_confidence,
 )
 from ..functions.normalize import token_sort
-from ..functions.similarity import make_scoring_batteries_udf
+from ..functions.similarity import make_scoring_batteries_arrow_udf
 
 DEFAULT_MATCH_THRESHOLD = 0.70
 
@@ -271,7 +271,7 @@ def score_pairs(
         .withColumn("_wc", wconf)
         .withColumn(
             "_b",
-            make_scoring_batteries_udf(float(cutoff))(
+            make_scoring_batteries_arrow_udf(float(cutoff))(
                 F.col("_ls"),
                 F.col("_rs"),
                 F.col("_tlr"),

@@ -113,6 +113,63 @@ def test_vectorized_bound_bit_identical_to_spec():
     assert mism == [], f"vectorized evaluator diverged: {mism[:5]}"
 
 
+def test_arrow_scoring_udf_matches_pandas_twin():
+    """make_scoring_batteries_arrow_udf (the Arrow-native fused UDF the
+    scoring projection runs since round 6) must return EXACTLY the pandas
+    twin's rows — same prune set, same kernel values, same nulls — on the
+    adversarial name distribution plus null/empty/title/boost edges, at
+    both an active cutoff and the disabled (-1) cutoff."""
+    import pyarrow as pa
+    import random
+
+    import numpy as np
+
+    from metadata_reconciliation_tool_spark.functions.similarity import (
+        make_scoring_batteries_arrow_udf,
+        make_scoring_batteries_udf,
+    )
+
+    rng = random.Random(31)
+    pairs = _random_name_pairs(5_000, seed=31)
+    pairs += [(None, None), (None, "x y"), ("", ""), ("dr", "dr"), ("a", "a")]
+    n = len(pairs)
+    ls = pa.array([a for a, _ in pairs], type=pa.string())
+    rs = pa.array([b for _, b in pairs], type=pa.string())
+    tlr = pa.array(
+        [None if rng.random() < 0.01 else rng.random() for _ in range(n)],
+        type=pa.float64(),
+    )
+    wc = pa.array(
+        [None if rng.random() < 0.01 else rng.random() for _ in range(n)],
+        type=pa.float64(),
+    )
+    boost = pa.array(
+        [None if rng.random() < 0.3 else rng.choice([0.0, 0.05, 0.1]) for _ in range(n)],
+        type=pa.float64(),
+    )
+    import pandas as pd
+
+    for cutoff in (0.5, 0.7, -1.0):
+        arrow_fn = make_scoring_batteries_arrow_udf(cutoff).func
+        pandas_fn = make_scoring_batteries_udf(cutoff).func
+        got = arrow_fn(ls, rs, tlr, wc, boost)
+        want = pandas_fn(
+            ls.to_pandas(), rs.to_pandas(), tlr.to_pandas(), wc.to_pandas(),
+            boost.to_pandas(),
+        )
+        for col in ("jaro_winkler", "name_align", "na_ub", "pruned"):
+            g = pd.Series(
+                got.field(col).to_numpy(zero_copy_only=False)
+            ).to_numpy(dtype="float64", na_value=np.nan)
+            w = want[col].to_numpy(dtype="float64", na_value=np.nan)
+            mism = np.flatnonzero(
+                ~((g == w) | (np.isnan(g) & np.isnan(w)))
+            )
+            assert mism.size == 0, (
+                f"cutoff={cutoff} col={col}: {[(pairs[i], g[i], w[i]) for i in mism[:5]]}"
+            )
+
+
 def test_vectorized_bound_dense_fallback_edges():
     """Round-6 dense evaluator edge paths: names with MORE distinct tokens
     than the dense slot width (_MAXD) must route to the exact scalar
