@@ -238,7 +238,18 @@ class ReconPipeline:
         resume point (measured ~20 s of the sf0.1 pipeline wall). Resume
         still works — a crash during scoring reruns blocking as part of the
         scoring recompute, deterministically."""
-        ekeyed = B.add_block_keys(distinct)
+        from ..functions.persist import materialize
+
+        # materialize the keyed entity frame ONCE (round 6, measured
+        # ~0.5 s/run of prelude): ekeyed fans out to FOUR evaluation sites
+        # (the self path's block-size broadcast, its survival-mask
+        # broadcast, the fk checkpoint build, and the dictionary join's
+        # entity side), each of which would re-run the per-entity pandas
+        # UDFs (metaphone + LSH signatures). The frame is O(entities)
+        # PRE-explode — strictly smaller than the fk frame self_candidates
+        # already checkpoints — so the boundary is scale-safe wherever fk
+        # is (functions/persist.materialize's documented trade).
+        ekeyed = materialize(B.add_block_keys(distinct))
 
         def compute():
             # multi-source union semantics: default source + per-(norm_label,
