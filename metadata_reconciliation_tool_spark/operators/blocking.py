@@ -393,7 +393,20 @@ def dictionary_candidates(
         # per-batch incremental path skips it by design: batch pair
         # streams are seconds of work, below straggler-tail relevance.
         if entity_rows is not None and entity_rows <= REPARTITION_MAX_ENTITY_ROWS:
-            nparts = int(e.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+            # 2× the core count, floored at the session's shuffle
+            # partitioning (round 6, measured): at exactly one task per
+            # core the pair-dense join stage runs as ONE wave, so a single
+            # slowed core (shared-host interference, a straggling task)
+            # delays the whole stage; two waves of half-size tasks bound
+            # the damage to half a wave — median 27.7 → 22.2 s across 11
+            # interleaved reps at load 26–42, equal best-case on a quiet
+            # host. On a cluster the shuffle.partitions floor dominates,
+            # so production behavior is unchanged.
+            sc = e.sparkSession.sparkContext
+            nparts = max(
+                int(e.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+                2 * sc.defaultParallelism,
+            )
             e = e.repartition(nparts, "left_key")
         joined = e.join(F.broadcast(d), ["block_pass", "block_key"])
     else:
