@@ -665,7 +665,23 @@ def make_scoring_batteries_arrow_udf(cutoff: float):
 
     from pyspark.sql.functions import ArrowUDFType, arrow_udf
 
-    return arrow_udf(fn, _SCORING_BATTERIES_SCHEMA, ArrowUDFType.SCALAR)
+    # asNondeterministic is an OPTIMIZER FENCE, not a semantic change (the
+    # function is pure): without it, cap_persisted_scores' self-drop filter
+    # references the UDF's `pruned` output and Catalyst pushes the filter
+    # BELOW the projection by DUPLICATING the UDF — the self branch ran
+    # ArrowEvalPython twice (once over the full 18.6M-row pre-filter
+    # stream to evaluate the filter, once more over the ~0.6M survivors —
+    # exactly the rows whose kernels are the expensive path), with the
+    # levenshtein/F7 argument expressions re-inlined into the duplicate
+    # (guide §4.4; plan evidence in plans/r06/). The fence keeps ONE
+    # evaluation with the filter above it. Cluster note: a nondeterministic
+    # stage is "indeterminate" to the scheduler, so a fetch failure retries
+    # the whole stage rather than single tasks — a resilience cost on rare
+    # retries, never a correctness one (the function is pure; any recompute
+    # yields identical bytes). Wall-neutral at local[32] (interleaved A/B
+    # det 21.8–22.5 vs nondet 22.3–23.0 s); the win is the removed
+    # duplicate evaluation (~0.6M kernel-path rows/run) and the fence.
+    return arrow_udf(fn, _SCORING_BATTERIES_SCHEMA, ArrowUDFType.SCALAR).asNondeterministic()
 
 
 def surname_key_py(norm_name: str) -> str:
